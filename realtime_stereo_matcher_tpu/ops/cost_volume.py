@@ -1,0 +1,195 @@
+"""Cost-volume builders, vectorized over the disparity axis (no Python loops).
+
+The reference builds every cost volume with a per-disparity Python loop of
+variable-width slice assignments (reference model/mobile_stereo_net.py:8-27,
+model/mobile_disp_net_c.py:188-205, cost_volume/*.py).  That pattern is
+layout-hostile on TPU: dynamic-width updates defeat XLA tiling.  Here every
+volume is one dense gather/matmul with an iota validity mask, so XLA sees a
+single fusable producer with static shapes.
+
+Layout convention (TPU-first, channels-last):
+
+* feature maps:            (B, H, W, C)
+* 4D volumes (w/ channels): (B, D, H, W, C)   -- NDHWC for 3D convs
+* 3D volumes:              (B, D, H, W)
+
+Sign/semantics parity with the reference:
+* difference volume invalid region filled with 1.0
+  (reference model/mobile_stereo_net.py:13-22)
+* correlation / groupwise / concat volumes invalid region filled with 0.0
+  (reference model/mobile_disp_net_c.py:191, cost_volume/*.py)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift_indices(w: int, max_disp: int):
+    """(D, W) gather indices ``idx[d, x] = x - d`` plus validity mask."""
+    idx = jnp.arange(w, dtype=jnp.int32)[None, :] - jnp.arange(
+        max_disp, dtype=jnp.int32
+    )[:, None]
+    valid = idx >= 0
+    return jnp.maximum(idx, 0), valid
+
+
+def shift_stack(fmap: jnp.ndarray, max_disp: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stack right-image features over disparity shifts.
+
+    Args:
+      fmap: (B, H, W, C) right-image features.
+      max_disp: number of disparity hypotheses D.
+
+    Returns:
+      (stack, valid): stack (B, D, H, W, C) with
+      ``stack[:, d, :, x] = fmap[:, :, x - d]`` (clamped), and valid
+      (1, D, 1, W, 1) boolean mask of in-bounds shifts.
+    """
+    b, h, w, c = fmap.shape
+    idx, valid = _shift_indices(w, max_disp)
+    # take along W with a (D, W) index grid -> (B, H, D, W, C)
+    g = jnp.take(fmap, idx, axis=2)
+    g = jnp.transpose(g, (0, 2, 1, 3, 4))
+    return g, valid[None, :, None, :, None]
+
+
+def difference_cost_volume(left: jnp.ndarray, right: jnp.ndarray, max_disp: int):
+    """StereoNet-style difference volume (reference model/mobile_stereo_net.py:8-27).
+
+    Args:
+      left, right: (B, H, W, C) features.
+    Returns:
+      (B, D, H, W, C); entries with ``x < d`` are 1.0 (reference fill value).
+    """
+    shifted, valid = shift_stack(right, max_disp)
+    diff = left[:, None] - shifted
+    return jnp.where(valid, diff, jnp.asarray(1.0, diff.dtype))
+
+
+def concat_cost_volume(left: jnp.ndarray, right: jnp.ndarray, max_disp: int):
+    """Concatenation volume (reference cost_volume/concatenate.py:11-41).
+
+    Returns:
+      (B, D, H, W, 2C): ``[..., :C]`` left features (zeroed where ``x < d``),
+      ``[..., C:]`` right features shifted by d (zeroed where ``x < d``).
+    """
+    shifted, valid = shift_stack(right, max_disp)
+    b, h, w, c = left.shape
+    lexp = jnp.broadcast_to(left[:, None], shifted.shape)
+    zero = jnp.asarray(0.0, left.dtype)
+    return jnp.concatenate(
+        [jnp.where(valid, lexp, zero), jnp.where(valid, shifted, zero)], axis=-1
+    )
+
+
+def correlation_cost_volume(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    max_disp: int,
+    *,
+    use_matmul: bool = True,
+    mean: bool = True,
+):
+    """Mean-correlation volume (reference model/mobile_disp_net_c.py:188-205).
+
+    ``out[b, d, h, x] = mean_c(left[b, h, x, c] * right[b, h, x - d, c])`` for
+    ``x >= d``, else 0.
+
+    Two equivalent implementations:
+      * ``use_matmul=True`` (default, TPU/MXU path): one batched matmul
+        ``(B*H, W, C) @ (B*H, C, W) -> (B*H, W, W)`` followed by a static
+        banded gather.  Runs on the 128x128 systolic array.
+      * elementwise path: shift-stack multiply-reduce (VPU), used as the
+        semantic reference in tests.
+
+    Returns:
+      (B, D, H, W).
+    """
+    b, h, w, c = left.shape
+    scale = (1.0 / c) if mean else 1.0
+    if use_matmul:
+        # full (W x W) row-wise correlation on the MXU
+        lf = left.reshape(b * h, w, c)
+        rf = right.reshape(b * h, w, c)
+        full = jax.lax.dot_general(
+            lf,
+            rf,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B*H, W_left, W_right)
+        full = full.reshape(b, h, w, w)
+        idx, valid = _shift_indices(w, max_disp)  # (D, W)
+        # out[b, h, x, d] = full[b, h, x, x - d]
+        gather_idx = jnp.transpose(idx)  # (W, D): [x, d] -> x - d
+        band = jnp.take_along_axis(
+            full, gather_idx[None, None, :, :], axis=3
+        )  # (B, H, W, D)
+        band = jnp.transpose(band, (0, 3, 1, 2))  # (B, D, H, W)
+        vmask = valid[None, :, None, :]  # (1, D, 1, W)
+        out = jnp.where(vmask, band * scale, 0.0)
+        return out.astype(left.dtype)
+    shifted, valid = shift_stack(right, max_disp)
+    prod = (left[:, None].astype(jnp.float32) * shifted.astype(jnp.float32)).sum(-1)
+    out = jnp.where(valid[..., 0], prod * scale, 0.0)
+    return out.astype(left.dtype)
+
+
+def groupwise_cost_volume(
+    left: jnp.ndarray, right: jnp.ndarray, max_disp: int, n_groups: int
+):
+    """Group-wise correlation volume (reference cost_volume/groupwise.py:12-56).
+
+    ``out[b, d, h, x, g] = mean_{c in group g}(left * shifted_right)``.
+
+    Returns:
+      (B, D, H, W, G); invalid region 0.  (The reference returns
+      (N, G, H, W, D); this framework uses the NDHW(+C) convention
+      throughout -- the dormant reference library is a layout variant only.)
+    """
+    b, h, w, c = left.shape
+    assert c % n_groups == 0, (
+        f"groupwise cost channel ({c}) % #groups ({n_groups}) != 0."
+    )
+    cg = c // n_groups
+    shifted, valid = shift_stack(right, max_disp)
+    prod = left[:, None].astype(jnp.float32) * shifted.astype(jnp.float32)
+    prod = prod.reshape(b, max_disp, h, w, n_groups, cg).mean(axis=-1)
+    out = jnp.where(valid, prod, 0.0)
+    return out.astype(left.dtype)
+
+
+def interweave_volume(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """Channel-interleaved pair volume (reference cost_volume/interweave.py:10-22,
+    model/mobile_stereo_net_v4.py:17-23): even channels = left, odd = right.
+
+    Args:
+      left, right: (..., C).
+    Returns:
+      (..., 2C) with ``out[..., 2i] = left[..., i]``, ``out[..., 2i+1] = right[..., i]``.
+    """
+    stacked = jnp.stack([left, right], axis=-1)  # (..., C, 2)
+    return stacked.reshape(*left.shape[:-1], 2 * left.shape[-1])
+
+
+def soft_argmin(cost: jnp.ndarray, axis: int = 1, *, keepdims: bool = False):
+    """Softmax-weighted expected disparity (soft arg-min over matching cost).
+
+    ``sum_d d * softmax(cost)[d]`` -- the disparity-regression head shared by
+    every neural model in the reference (model/mobile_stereo_net.py:144-147,
+    model/mobile_stereo_net_v4.py:10-14, model/mobile_disp_net_c.py:208-220).
+
+    Args:
+      cost: cost/score volume; higher = more likely (softmax, not -softmax).
+      axis: disparity axis.
+    Returns:
+      expected disparity with ``axis`` reduced (or kept if ``keepdims``).
+    """
+    d = cost.shape[axis]
+    p = jax.nn.softmax(cost.astype(jnp.float32), axis=axis)
+    shape = [1] * cost.ndim
+    shape[axis] = d
+    disps = jnp.arange(d, dtype=jnp.float32).reshape(shape)
+    out = jnp.sum(p * disps, axis=axis, keepdims=keepdims)
+    return out.astype(cost.dtype)

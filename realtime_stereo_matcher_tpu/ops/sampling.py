@@ -1,0 +1,180 @@
+"""Resampling ops: resize (nearest / bilinear / trilinear) and disparity warping.
+
+These re-implement, in pure JAX gather arithmetic, the exact semantics the
+reference framework gets from ``torch.nn.functional.interpolate`` and
+``torch.nn.functional.grid_sample`` (reference model/mobile_stereo_net_v2.py:59-96,
+model/mobile_stereo_net.py:75-80,156).  TPU notes:
+
+* All resizes are separable per-axis linear maps with *static* gather indices,
+  so XLA lowers them to concats-of-slices / one-hot matmuls rather than
+  dynamic gathers.
+* ``grid_sample`` has no JAX equivalent; :func:`grid_sample_2d` implements
+  bilinear sampling with zeros padding and ``align_corners=False`` coordinate
+  semantics via four flattened-index gathers.
+* Everything is NHWC (channels-last = TPU lane dimension).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Separable resize (torch F.interpolate semantics, antialias=False)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+    """torch 'nearest' (legacy) index rule: src = floor(dst * in/out)."""
+    scale = in_size / out_size
+    idx = jnp.floor(jnp.arange(out_size, dtype=jnp.float32) * scale).astype(jnp.int32)
+    return jnp.clip(idx, 0, in_size - 1)
+
+
+def _linear_indices_weights(out_size: int, in_size: int):
+    """torch 'bilinear/linear', align_corners=False, antialias=False.
+
+    src = (dst + 0.5) * (in/out) - 0.5, clamped below at 0 (torch clamps the
+    source coordinate to >= 0 before splitting into floor + fraction).
+    """
+    scale = in_size / out_size
+    x = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    x = jnp.maximum(x, 0.0)
+    x0 = jnp.floor(x)
+    t = x - x0
+    i0 = jnp.clip(x0.astype(jnp.int32), 0, in_size - 1)
+    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+    return i0, i1, t
+
+
+def _resize_axis_nearest(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    return jnp.take(x, _nearest_indices(out_size, in_size), axis=axis)
+
+
+def _resize_axis_linear(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, t = _linear_indices_weights(out_size, in_size)
+    v0 = jnp.take(x, i0, axis=axis)
+    v1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    t = t.reshape(shape).astype(v0.dtype)
+    return v0 + t * (v1 - v0)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw, *, h_axis: int = 1, w_axis: int = 2):
+    """Nearest-neighbour resize (torch F.interpolate default mode)."""
+    x = _resize_axis_nearest(x, out_hw[0], h_axis)
+    x = _resize_axis_nearest(x, out_hw[1], w_axis)
+    return x
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, *, h_axis: int = 1, w_axis: int = 2):
+    """Bilinear resize, align_corners=False, no antialias (torch semantics)."""
+    x = _resize_axis_linear(x, out_hw[0], h_axis)
+    x = _resize_axis_linear(x, out_hw[1], w_axis)
+    return x
+
+
+def resize_trilinear(x: jnp.ndarray, out_dhw, *, d_axis: int = 1, h_axis: int = 2,
+                     w_axis: int = 3):
+    """Trilinear resize over (D, H, W) axes (torch mode='trilinear',
+    align_corners=False).  Used by MobileStereoNetV4's cost-volume upsample
+    (reference model/mobile_stereo_net_v4.py:477-478)."""
+    x = _resize_axis_linear(x, out_dhw[0], d_axis)
+    x = _resize_axis_linear(x, out_dhw[1], h_axis)
+    x = _resize_axis_linear(x, out_dhw[2], w_axis)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# grid_sample replacement
+# ---------------------------------------------------------------------------
+
+
+def grid_sample_2d(image: jnp.ndarray, x_pix: jnp.ndarray, y_pix: jnp.ndarray):
+    """Bilinear sample ``image`` (B, H, W, C) at pixel coords with zeros padding.
+
+    Matches torch ``F.grid_sample(mode='bilinear', padding_mode='zeros',
+    align_corners=False)`` once normalized grid coords are converted to pixel
+    coords (``x_pix = ((gx + 1) * W - 1) / 2``).
+
+    Args:
+      image: (B, H, W, C).
+      x_pix, y_pix: (B, H', W') sample locations in *pixel* space.
+
+    Returns:
+      (B, H', W', C) sampled values; out-of-bounds taps contribute zero.
+    """
+    b, h, w, c = image.shape
+    compute_dtype = image.dtype
+
+    x0f = jnp.floor(x_pix)
+    y0f = jnp.floor(y_pix)
+    tx = (x_pix - x0f).astype(compute_dtype)[..., None]
+    ty = (y_pix - y0f).astype(compute_dtype)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    flat = image.reshape(b, h * w, c)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        idx = (yc * w + xc).reshape(b, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*yi.shape, c)
+        return vals * valid[..., None].astype(compute_dtype)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+
+    top = v00 + tx * (v01 - v00)
+    bot = v10 + tx * (v11 - v10)
+    return top + ty * (bot - top)
+
+
+def warp_by_flow_map(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``image`` by a (negative-disparity) flow map.
+
+    TPU-native equivalent of the reference's grid_sample warp
+    (model/mobile_stereo_net_v2.py:59-96, tools/warp.py:5-42), including the
+    subtle ``align_corners=False`` renormalization: the reference builds a
+    normalized grid with ``2*x/(W-1) - 1`` and samples with
+    align_corners=False, which composes to ``x_pix = x * W/(W-1) - 0.5`` --
+    *also on the identity y-axis* for 1-channel flows.
+
+    Args:
+      image: (B, H, W, C).
+      flow: (B, H, W, 1) horizontal flow, or (B, H, W, 2) horizontal+vertical.
+
+    Returns:
+      (B, H, W, C) warped image; samples from ``x - flow_x`` (and
+      ``y - flow_y`` for 2-channel flows).
+    """
+    b, h, w, fc = flow.shape
+    assert fc in (1, 2), f"invalid flow map dimension 1 or 2 ({fc})!"
+
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+
+    x = gx - flow[..., 0].astype(jnp.float32)
+    if fc == 2:
+        y = gy - flow[..., 1].astype(jnp.float32)
+    else:
+        y = jnp.broadcast_to(gy, (b, h, w))
+
+    x_pix = x * (w / (w - 1.0)) - 0.5
+    y_pix = y * (h / (h - 1.0)) - 0.5
+    return grid_sample_2d(image, x_pix, y_pix)

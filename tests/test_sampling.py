@@ -1,0 +1,101 @@
+"""Resize / warp ops vs. torch reference semantics.
+
+torch (CPU) is used *only in tests* as the ground-truth oracle for the
+interpolate/grid_sample semantics the reference framework relies on.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from realtime_stereo_matcher_tpu.ops import (
+    grid_sample_2d,
+    resize_bilinear,
+    resize_nearest,
+    resize_trilinear,
+    warp_by_flow_map,
+)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2)
+
+
+def _nhwc(x_nchw):
+    return x_nchw.permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((7, 9), (14, 18)), ((8, 10), (5, 7)),
+                                          ((6, 8), (13, 3)), ((60, 80), (480, 640))])
+def test_resize_bilinear_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw))
+    want = _nhwc(F.interpolate(_nchw(x), out_hw, mode="bilinear",
+                               align_corners=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((7, 9), (14, 18)), ((8, 10), (5, 7)),
+                                          ((60, 80), (480, 640))])
+def test_resize_nearest_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    got = np.asarray(resize_nearest(jnp.asarray(x), out_hw))
+    want = _nhwc(F.interpolate(_nchw(x), out_hw))  # torch default = nearest
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("in_dhw,out_dhw", [((4, 6, 8), (12, 24, 32)),
+                                            ((48, 16, 20), (192, 64, 80))])
+def test_resize_trilinear_matches_torch(rng, in_dhw, out_dhw):
+    x = rng.standard_normal((1, *in_dhw), dtype=np.float32)
+    got = np.asarray(resize_trilinear(jnp.asarray(x), out_dhw))
+    xt = torch.from_numpy(x)[:, None]  # (B, 1, D, H, W)
+    want = F.interpolate(xt, out_dhw, mode="trilinear",
+                         align_corners=False)[:, 0].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_matches_torch(rng):
+    b, h, w, c = 2, 12, 17, 4
+    img = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    # sample coords spanning in and out of bounds
+    x_pix = rng.uniform(-3, w + 2, size=(b, h, w)).astype(np.float32)
+    y_pix = rng.uniform(-3, h + 2, size=(b, h, w)).astype(np.float32)
+
+    got = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(x_pix),
+                                    jnp.asarray(y_pix)))
+
+    # torch oracle: convert pixel coords back to align_corners=False normalized
+    gx = (2.0 * torch.from_numpy(x_pix) + 1.0) / w - 1.0
+    gy = (2.0 * torch.from_numpy(y_pix) + 1.0) / h - 1.0
+    grid = torch.stack([gx, gy], dim=-1)
+    want = _nhwc(F.grid_sample(_nchw(img), grid, mode="bilinear",
+                               padding_mode="zeros", align_corners=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_by_flow_map_matches_reference_semantics(rng):
+    """Oracle reproduces the reference warp math (mobile_stereo_net_v2.py:59-96)
+    with torch primitives: normalized grid 2x/(W-1)-1, align_corners=False."""
+    b, h, w, c = 1, 10, 14, 3
+    img = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    flow = rng.uniform(-4, 4, size=(b, h, w, 1)).astype(np.float32)
+
+    got = np.asarray(warp_by_flow_map(jnp.asarray(img), jnp.asarray(flow)))
+
+    image_t = _nchw(img)
+    flow_t = torch.from_numpy(flow).permute(0, 3, 1, 2)
+    grid_y, grid_x = torch.meshgrid(
+        torch.arange(h, dtype=torch.float32),
+        torch.arange(w, dtype=torch.float32), indexing="ij")
+    gx = grid_x.view(1, 1, h, w) - flow_t[:, 0].view(b, 1, h, w)
+    gx = gx.permute(0, 2, 3, 1)
+    gy = grid_y.view(1, h, w, 1).repeat(b, 1, 1, 1)
+    gx = 2.0 * gx / (w - 1.0) - 1.0
+    gy = 2.0 * gy / (h - 1.0) - 1.0
+    grid = torch.cat([gx, gy], dim=-1)
+    want = _nhwc(F.grid_sample(image_t, grid, mode="bilinear",
+                               padding_mode="zeros", align_corners=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
