@@ -1,0 +1,90 @@
+"""Model zoo smoke + shape/parity-property tests.
+
+Shapes mirror the reference's documented activation shapes (docstring shape
+comments in reference model/*.py).  All outputs must be full-resolution,
+negative-valued (the repo-wide negative-flow convention) lists coarse->fine.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_stereo_matcher_tpu.models import build_model
+
+H, W = 64, 96
+
+
+def _imgs(rng, h=H, w=W):
+    l = rng.uniform(0, 255, size=(1, h, w, 3)).astype(np.float32)
+    r = rng.uniform(0, 255, size=(1, h, w, 3)).astype(np.float32)
+    return jnp.asarray(l), jnp.asarray(r)
+
+
+CONFIGS = [
+    # sign_constrained: v1-v3 end in ReLU(disp) then negate, so outputs <= 0;
+    # DispNetC's side heads are raw convs (reference has no sign constraint
+    # either -- eval masks flow_pr < 0 instead).
+    ("MobileStereoNet", {}, 3, True),
+    ("MobileStereoNetV2",
+     {"down_factor": 3, "max_disp": 64, "refine_dim": 7,
+      "refine_dilates": [1, 2, 4, 8, 1, 1], "hidden_dim": 16}, 3, True),
+    ("MobileStereoNetV3",
+     {"down_factor": 3, "max_disp": 64,
+      "refine_dilates": [1, 2, 4, 8, 1, 1], "hidden_dim": 16}, 3, True),
+    ("MobileDispNetC", {"hidden_dim": 8, "max_disp": 64,
+                        "with_batch_norm": True}, 6, False),
+]
+
+
+@pytest.mark.parametrize("mtype,params,n_preds,sign_constrained", CONFIGS)
+def test_model_forward_shapes(rng, mtype, params, n_preds, sign_constrained):
+    model = build_model({"type": mtype, "parameters": params})
+    l, r = _imgs(rng)
+    variables = model.init(jax.random.PRNGKey(0), l, r, train=False)
+    preds = model.apply(variables, l, r, train=False)
+    assert len(preds) == n_preds
+    for p in preds:
+        assert p.shape == (1, H, W, 1)
+        if sign_constrained:
+            assert np.all(np.asarray(p) <= 0.0), "disparity must be negative flow"
+    assert np.all(np.isfinite(np.asarray(preds[-1])))
+
+
+def test_v4_forward_shapes(rng):
+    model = build_model({"type": "MobileStereoNetV4",
+                         "parameters": {"max_disp": 64}})
+    l, r = _imgs(rng, 48, 64)
+    variables = model.init(jax.random.PRNGKey(0), l, r, train=False)
+    preds = model.apply(variables, l, r, train=False)
+    assert len(preds) == 1
+    assert preds[0].shape == (1, 48, 64, 1)
+    assert np.all(np.asarray(preds[0]) <= 0.0)
+
+    # train mode: 4 supervision heads, mutable batch stats
+    preds, _ = model.apply(variables, l, r, train=True,
+                           mutable=["batch_stats"])
+    assert len(preds) == 4
+    for p in preds:
+        assert p.shape == (1, 48, 64, 1)
+
+
+def test_train_mode_updates_batch_stats(rng):
+    model = build_model({"type": "MobileStereoNet", "parameters": {}})
+    l, r = _imgs(rng)
+    variables = model.init(jax.random.PRNGKey(0), l, r, train=False)
+    preds, updates = model.apply(variables, l, r, train=True,
+                                 mutable=["batch_stats"])
+    assert len(preds) == 3
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_non_divisible_input_shapes(rng):
+    """Models must pad internally and crop back (reference forward preamble)."""
+    model = build_model({"type": "MobileStereoNet", "parameters": {}})
+    l, r = _imgs(rng, 50, 70)
+    variables = model.init(jax.random.PRNGKey(0), l, r, train=False)
+    preds = model.apply(variables, l, r, train=False)
+    assert preds[-1].shape == (1, 50, 70, 1)
