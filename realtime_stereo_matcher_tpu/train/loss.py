@@ -1,0 +1,93 @@
+"""Sequence loss + flow-map metrics (reference loss/loss.py).
+
+Functional JAX re-design of the reference's ``SequenceLoss`` (loss/loss.py:25-81)
+and ``get_flow_map_metrics`` (:6-22):
+
+* exponentially weighted multi-prediction loss: weight ``gamma^(n-1-i)``,
+  plain L1 for intermediate predictions, SmoothL1 (beta=1) for the final one;
+* predictions whose shape differs from GT are upsampled with *nearest*
+  interpolation and rescaled by the width ratio (the reference's mode-less
+  ``F.interpolate``, :70-72);
+* the valid mask combines the dataset mask with ``|flow| < max_flow_magnitude``.
+
+Masked means are computed with explicit sum/count (no boolean indexing --
+static shapes under jit).  Everything reduces in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from realtime_stereo_matcher_tpu.ops import resize_nearest
+
+
+def smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    ad = jnp.abs(diff)
+    return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def sequence_loss(
+    flow_preds: Sequence[jnp.ndarray],
+    flow_gt: jnp.ndarray,
+    flow_valid: jnp.ndarray,
+    *,
+    loss_gamma: float = 0.9,
+    max_flow_magnitude: float = 700.0,
+) -> jnp.ndarray:
+    """Reference SequenceLoss.forward (loss/loss.py:35-81).
+
+    Args:
+      flow_preds: list of (B, H', W', 1) predictions, coarse -> fine.
+      flow_gt: (B, H, W, 1) ground-truth flow (negative disparity).
+      flow_valid: (B, H, W) float/bool validity mask.
+    Returns:
+      scalar float32 loss.
+    """
+    n_preds = len(flow_preds)
+    assert n_preds >= 1, f"empty flow predictions ({n_preds})!"
+
+    gt = flow_gt.astype(jnp.float32)
+    flow_mag = jnp.sqrt(jnp.sum(gt ** 2, axis=-1))  # (B, H, W)
+    valid = (flow_valid.astype(jnp.float32) >= 0.5) & (
+        flow_mag < max_flow_magnitude
+    )
+    valid = valid[..., None]  # (B, H, W, 1)
+
+    total = jnp.float32(0.0)
+    h, w = gt.shape[1], gt.shape[2]
+    for i, pred in enumerate(flow_preds):
+        weight = loss_gamma ** (n_preds - 1 - i)
+        p = pred.astype(jnp.float32)
+        if p.shape[1] != h or p.shape[2] != w:
+            scale = float(w) / p.shape[2]
+            p = resize_nearest(p * scale, (h, w))
+        diff = gt - p
+        err = smooth_l1(diff) if i == n_preds - 1 else jnp.abs(diff)
+        total = total + weight * _masked_mean(err, valid)
+    return total
+
+
+def flow_map_metrics(flow_gt, flow_pred, flow_valid) -> dict:
+    """Reference get_flow_map_metrics (loss/loss.py:6-22): masked EPE plus
+    <0.5/1/3/5 px accuracy rates and the first image's pred min/max."""
+    gt = flow_gt.astype(jnp.float32)
+    pred = flow_pred.astype(jnp.float32)
+    valid = flow_valid.astype(jnp.float32) >= 0.5  # (B, H, W)
+
+    epe = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # (B, H, W)
+    return {
+        "epe": _masked_mean(epe, valid),
+        "0.5px": _masked_mean((epe < 0.5).astype(jnp.float32), valid),
+        "1px": _masked_mean((epe < 1.0).astype(jnp.float32), valid),
+        "3px": _masked_mean((epe < 3.0).astype(jnp.float32), valid),
+        "5px": _masked_mean((epe < 5.0).astype(jnp.float32), valid),
+        "min": jnp.min(pred[0]),
+        "max": jnp.max(pred[0]),
+    }
