@@ -1,0 +1,240 @@
+"""Benchmark validators (reference evaluate_stereo.py).
+
+Per-dataset validation with metric math replicated exactly from the
+reference, including its subtleties:
+
+* inputs padded to /64 with the replicate-mode centered InputPadder
+  (reference :121-122);
+* valid mask = dataset validity AND pred not-NaN AND ``flow_pr < 0.0``
+  (the negative-flow convention, reference :135-139);
+* KITTI: D1 = 100 * mean over *all pooled pixels* of EPE > 1 (reference
+  :153-161); ETH3D/Middlebury: bad0.5/1/3/5 averaged *per image* first
+  (reference :83-96, :248-278); Things: additional |gt| < 192 mask (:193);
+  ETH3D drops images with EPE > 80 (:78-79); Middlebury valid uses
+  ``valid >= -0.5`` and ``gt > -1000`` (:241-246).
+
+TPU adaptations:
+* forward functions are jitted per padded shape and cached; a warm-up call
+  per new shape is excluded from FPS timing (the analog of the reference's
+  cudnn.benchmark autotuning, :113);
+* FPS = 1 / wall(forward + device sync), batch 1, like the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_stereo_matcher_tpu.data import datasets
+from realtime_stereo_matcher_tpu.ops import InputPadder
+
+
+class ModelRunner:
+    """Uniform ``runner(left, right) -> [negative disparity]`` wrapper.
+
+    Neural models get a per-shape jit cache; classical modules (SGBM) run
+    as-is on host.
+    """
+
+    def __init__(self, model, variables=None, *, jit: bool = True):
+        self.model = model
+        self.variables = variables
+        self.is_neural = variables is not None
+        self._cache = {}
+        self._jit = jit
+
+    def __call__(self, left, right):
+        if not self.is_neural:
+            return self.model(np.asarray(left), np.asarray(right))
+        key = tuple(left.shape)
+        if key not in self._cache:
+            if self._jit:
+                fwd = jax.jit(
+                    lambda v, a, b: self.model.apply(v, a, b, train=False))
+            else:
+                fwd = lambda v, a, b: self.model.apply(v, a, b, train=False)
+            self._cache[key] = fwd
+        return self._cache[key](self.variables, jnp.asarray(left),
+                                jnp.asarray(right))
+
+    def warmed(self, shape) -> bool:
+        return not self.is_neural or tuple(shape) in getattr(
+            self, "_warm", set())
+
+    def mark_warm(self, shape):
+        if not hasattr(self, "_warm"):
+            self._warm = set()
+        self._warm.add(tuple(shape))
+
+
+def _forward_timed(runner, image1, image2):
+    """Run the final prediction with FPS timing (excluding first-shape
+    compilation)."""
+    if not runner.warmed(image1.shape):
+        out = runner(image1, image2)
+        jax.block_until_ready(out) if runner.is_neural else None
+        runner.mark_warm(image1.shape)
+    start = time.time()
+    out = runner(image1, image2)
+    if runner.is_neural:
+        jax.block_until_ready(out)
+    end = time.time()
+    return np.asarray(out[-1]), 1.0 / max(end - start, 1e-9)
+
+
+def _prep(image1, image2):
+    """(H, W, 3) -> padded (1, H64, W64, 3) pair + padder."""
+    i1 = np.asarray(image1, np.float32)[None]
+    i2 = np.asarray(image2, np.float32)[None]
+    padder = InputPadder(i1.shape, divis_by=64)
+    i1, i2 = padder.pad(jnp.asarray(i1), jnp.asarray(i2))
+    return i1, i2, padder
+
+
+def validate_eth3d(runner, root=None) -> dict:
+    """Reference validate_eth3d (evaluate_stereo.py:33-104)."""
+    val_dataset = datasets.ETH3D(aug_params={}, root=root)
+    out_list, epe_list, fps_list = [], [], []
+    for val_id in range(len(val_dataset)):
+        _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
+        i1, i2, padder = _prep(image1, image2)
+        flow_pr, fps = _forward_timed(runner, i1, i2)
+        flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
+        assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
+        epe = np.sqrt(((flow_pr - flow_gt) ** 2).sum(-1)).flatten()
+        fpr = flow_pr.flatten()
+        val = ((valid_gt.flatten() >= 0.5) & ~np.isnan(fpr) & (fpr < 0.0))
+        image_out = [float((epe > t)[val].mean())
+                     for t in (0.5, 1.0, 3.0, 5.0)]
+        image_epe = float(epe[val].mean())
+        logging.info("ETH3D %d out of %d. EPE: %.4f, D1: %.4f, FPS: %.4f.",
+                     val_id + 1, len(val_dataset), image_epe, image_out[1], fps)
+        if image_epe > 80.0:
+            continue
+        epe_list.append(image_epe)
+        out_list.append(image_out)
+        fps_list.append(fps)
+    epe = float(np.mean(epe_list))
+    bads = 100 * np.mean(np.array(out_list), axis=0)
+    fps = float(np.mean(fps_list))
+    print("Validation ETH3D: EPE=%.4f, bad0.5=%.4f, bad1.0=%.4f, bad3.0=%.4f,"
+          " bad5.0=%.4f, FPS=%.4f" % (epe, *bads, fps))
+    return {"eth3d-epe": epe, "eth3d-bad0.5": bads[0], "eth3d-bad1.0": bads[1],
+            "eth3d-bad3.0": bads[2], "eth3d-bad5.0": bads[3], "eth3d-fps": fps}
+
+
+def validate_kitti(runner, root=None) -> dict:
+    """Reference validate_kitti (evaluate_stereo.py:108-162)."""
+    val_dataset = datasets.KITTI(aug_params={}, root=root, image_set="training")
+    out_list, epe_list, fps_list = [], [], []
+    for val_id in range(len(val_dataset)):
+        _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
+        i1, i2, padder = _prep(image1, image2)
+        flow_pr, fps = _forward_timed(runner, i1, i2)
+        flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
+        assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
+        epe = np.sqrt(((flow_pr - flow_gt) ** 2).sum(-1)).flatten()
+        fpr = flow_pr.flatten()
+        val = ((valid_gt.flatten() >= 0.5) & ~np.isnan(fpr) & (fpr < 0.0))
+        out = epe > 1.0
+        image_epe = float(epe[val].mean())
+        image_out = float(out[val].mean())
+        if val_id < 9 or (val_id + 1) % 10 == 0:
+            logging.info("KITTI %d out of %d. EPE: %.4f, D1: %.4f, FPS: %.4f.",
+                         val_id + 1, len(val_dataset), image_epe, image_out,
+                         fps)
+        epe_list.append(image_epe)
+        out_list.append(out[val])
+        fps_list.append(fps)
+    epe = float(np.mean(epe_list))
+    d1 = 100 * float(np.concatenate(out_list).mean())
+    fps = float(np.mean(fps_list))
+    print("Validation KITTI: EPE %.4f, D1 %.4f, FPS: %.4f" % (epe, d1, fps))
+    return {"kitti-epe": epe, "kitti-d1": d1, "kitti-fps": fps}
+
+
+def validate_things(runner, root=None) -> dict:
+    """Reference validate_things (evaluate_stereo.py:166-212)."""
+    val_dataset = datasets.SceneFlowDatasets(
+        root=root, dstype="frames_finalpass", things_test=True)
+    out_list, epe_list, fps_list = [], [], []
+    for val_id in range(len(val_dataset)):
+        _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
+        i1, i2, padder = _prep(image1, image2)
+        flow_pr, fps = _forward_timed(runner, i1, i2)
+        flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
+        assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
+        epe = np.sqrt(((flow_pr - flow_gt) ** 2).sum(-1)).flatten()
+        fpr = flow_pr.flatten()
+        val = ((valid_gt.flatten() >= 0.5)
+               & (np.abs(flow_gt).flatten() < 192)
+               & ~np.isnan(fpr) & (fpr < 0.0))
+        out = epe > 1.0
+        epe_list.append(float(epe[val].mean()))
+        out_list.append(out[val])
+        fps_list.append(fps)
+    epe = float(np.mean(epe_list))
+    d1 = 100 * float(np.concatenate(out_list).mean())
+    fps = float(np.mean(fps_list))
+    print("Validation THINGS: EPE %.4f, D1 %.4f, FPS: %.4f" % (epe, d1, fps))
+    return {"things-epe": epe, "things-d1": d1, "things-fps": fps}
+
+
+def validate_middlebury(runner, split="F", root=None) -> dict:
+    """Reference validate_middlebury (evaluate_stereo.py:216-286)."""
+    val_dataset = datasets.Middlebury(aug_params={}, root=root, split=split)
+    out_list, epe_list, fps_list = [], [], []
+    for val_id in range(len(val_dataset)):
+        _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
+        i1, i2, padder = _prep(image1, image2)
+        flow_pr, fps = _forward_timed(runner, i1, i2)
+        flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
+        assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
+        epe = np.sqrt(((flow_pr - flow_gt) ** 2).sum(-1)).flatten()
+        fpr = flow_pr.flatten()
+        val = ((np.asarray(valid_gt).reshape(-1) >= -0.5)
+               & (flow_gt[..., 0].reshape(-1) > -1000)
+               & ~np.isnan(fpr) & (fpr < 0.0))
+        image_out = [float((epe > t)[val].mean())
+                     for t in (0.5, 1.0, 3.0, 5.0)]
+        image_epe = float(epe[val].mean())
+        logging.info("MIDDLEBURY %d out of %d. EPE: %.4f, D1: %.4f, FPS: %.4f.",
+                     val_id + 1, len(val_dataset), image_epe, image_out[1], fps)
+        epe_list.append(image_epe)
+        out_list.append(image_out)
+        fps_list.append(fps)
+    epe = float(np.mean(epe_list))
+    bads = 100 * np.mean(np.array(out_list), axis=0)
+    fps = float(np.mean(fps_list))
+    print("Validation Middlebury: EPE=%.4f, bad0.5=%.4f, bad1.0=%.4f,"
+          " bad3.0=%.4f, bad5.0=%.4f, FPS=%.4f" % (epe, *bads, fps))
+    return {"middlebury-epe": epe, "middlebury-bad0.5": bads[0],
+            "middlebury-bad1.0": bads[1], "middlebury-bad3.0": bads[2],
+            "middlebury-bad5.0": bads[3], "middlebury-fps": fps}
+
+
+def run_validation(runner, dataset_names, *, data_root=None) -> dict:
+    """Dispatch per config ``test.datasets`` (reference main, :322-337)."""
+    import os.path as osp
+
+    def sub(name):
+        return osp.join(data_root, name) if data_root else None
+
+    results = {}
+    for dataset in dataset_names:
+        if dataset == "eth3d":
+            results.update(validate_eth3d(runner, root=sub("ETH3D")))
+        elif dataset == "kitti":
+            results.update(validate_kitti(runner, root=sub("KITTI")))
+        elif dataset in [f"middlebury_{s}" for s in "FHQ"] + ["middlebury_2014"]:
+            results.update(validate_middlebury(
+                runner, split=dataset.split("_")[-1], root=sub("Middlebury")))
+        elif dataset == "things":
+            results.update(validate_things(runner, root=sub("SceneFlow")))
+        else:
+            raise ValueError(f"unknown test dataset: {dataset}")
+    return results

@@ -1,0 +1,201 @@
+"""Config-driven training loop (reference train_stereo.py:138-212), TPU-native.
+
+Differences from the reference, by design:
+
+* one jitted, donated train step over a (data, spatial) mesh instead of
+  per-step DataParallel replica scatter/gather;
+* bf16 compute / f32 params instead of CUDA AMP + GradScaler (bf16 needs no
+  loss scaling);
+* Orbax checkpoints carry the FULL train state (params, batch stats, opt
+  state, step) -- consciously fixing the reference's broken resume, where
+  restore was weights-only and then clobbered by a post-restore re-init
+  (reference train_stereo.py:149-158);
+* sync-BN across the data axis for free via jit-with-shardings.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from realtime_stereo_matcher_tpu.config import ExperimentConfig
+from realtime_stereo_matcher_tpu.models import build_model
+from realtime_stereo_matcher_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from realtime_stereo_matcher_tpu.train.loss import (
+    flow_map_metrics,
+    sequence_loss,
+)
+from realtime_stereo_matcher_tpu.train.optim import make_optimizer
+from realtime_stereo_matcher_tpu.utils.logger import MetricLogger
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def count_parameters(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def create_train_state(exp_config: ExperimentConfig, rng_key=None,
+                       *, sample_hw=None, dtype=None):
+    """Build model + optimizer and initialize a TrainState."""
+    from realtime_stereo_matcher_tpu.config import DataConfig, TrainConfig
+
+    model = build_model(exp_config.model.as_dict(), dtype=dtype)
+    tcfg = exp_config.train or TrainConfig()
+    tx, schedule = make_optimizer(
+        tcfg.learn_rate, tcfg.num_of_steps, tcfg.weight_decay)
+    hw = tuple(sample_hw or (exp_config.data or DataConfig()).image_size)
+    rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(1234)
+    dummy = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    variables = model.init(rng_key, dummy, dummy, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    return model, tx, schedule, state
+
+
+def make_train_step(model, tx, loss_params: dict):
+    """Jittable (state, batch) -> (state, metrics) step."""
+    loss_gamma = float(loss_params.get("loss_gamma", 0.9))
+    max_flow = float(loss_params.get("max_flow_magnitude", 700))
+
+    def train_step(state: TrainState, img1, img2, flow, valid):
+        def loss_fn(params):
+            preds, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img1, img2, train=True, mutable=["batch_stats"])
+            loss = sequence_loss(preds, flow, valid, loss_gamma=loss_gamma,
+                                 max_flow_magnitude=max_flow)
+            return loss, (preds, updates["batch_stats"])
+
+        (loss, (preds, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = flow_map_metrics(flow, preds[-1], valid)
+        metrics["live_loss"] = loss
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path, state: TrainState):
+    ckptr = _checkpointer()
+    ckptr.save(os.path.abspath(path),
+               jax.tree_util.tree_map(np.asarray, state), force=True)
+
+
+def restore_checkpoint(path, state: TrainState) -> TrainState:
+    ckptr = _checkpointer()
+    restored = ckptr.restore(os.path.abspath(path), item=jax.tree_util.tree_map(
+        np.asarray, state))
+    return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
+def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
+          mesh=None, data_loader=None, log_dir=None,
+          use_bf16: bool | None = None) -> str:
+    """Run training per config; returns the final checkpoint path."""
+    from realtime_stereo_matcher_tpu.data.loader import fetch_dataloader
+
+    if use_bf16 is None:
+        use_bf16 = exp_config.model.mixed_precision
+    dtype = jnp.bfloat16 if use_bf16 else None
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    num_steps = max_steps or exp_config.train.num_of_steps
+
+    model, tx, schedule, state = create_train_state(exp_config, dtype=dtype)
+    logging.info("Model parameter count: %d.", count_parameters(state.params))
+
+    restore = exp_config.train.restore_checkpoint
+    if restore:
+        logging.info("Restoring full train state from %s...", restore)
+        state = restore_checkpoint(restore, state)
+        logging.info("Done loading checkpoint.")
+
+    if data_loader is None:
+        shard_id = jax.process_index()
+        num_shards = jax.process_count()
+        data_loader = fetch_dataloader(exp_config, shard_id=shard_id,
+                                       num_shards=num_shards)
+
+    loss_params = exp_config.train.loss.parameters
+    step_fn = jax.jit(make_train_step(model, tx, loss_params),
+                      donate_argnums=(0,))
+
+    # replicate state over the mesh; batches are sharded over 'data'
+    state = jax.device_put(state, replicated(mesh))
+
+    logger = MetricLogger(
+        log_dir=log_dir or os.path.join(exp_config.path, "runs"),
+        lr_fn=lambda s: float(schedule(s)))
+
+    exp_name, exp_path = exp_config.name, exp_config.path
+    ckpt_dir = Path(exp_path) / "checkpoints"
+    total_steps = int(state.step)
+    should_keep_training = True
+    t_start = time.time()
+    while should_keep_training:
+        for _, img1, img2, flow, valid in iter(data_loader):
+            assert img1.shape[0] % n_data == 0, (
+                f"batch {img1.shape[0]} not divisible by data axis {n_data}")
+            batch = shard_batch(mesh, (img1, img2, flow, valid))
+            state, metrics = step_fn(state, *batch)
+            logger.write_scalars(total_steps, {
+                "live_loss": metrics["live_loss"],
+                "learning_rate": schedule(total_steps)})
+            logger.push({k: float(v) for k, v in metrics.items()})
+            total_steps += 1
+            if total_steps > num_steps:
+                should_keep_training = False
+                break
+            if total_steps % exp_config.train.save_checkpoint_frequency == 0:
+                ckpt = ckpt_dir / f"{exp_name}-epoch-{total_steps}.ckpt"
+                ckpt.parent.mkdir(parents=True, exist_ok=True)
+                logging.info("Saving file %s...", ckpt)
+                save_checkpoint(ckpt, state)
+    logging.info("FINISHED TRAINING! (%.1fs)", time.time() - t_start)
+    logger.close()
+    final = ckpt_dir / f"{exp_name}-epoch-{total_steps}.ckpt"
+    final.parent.mkdir(parents=True, exist_ok=True)
+    save_checkpoint(final, state)
+    return str(final)

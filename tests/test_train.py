@@ -1,0 +1,106 @@
+"""Training loop tests: loss descends, checkpoints round-trip, 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realtime_stereo_matcher_tpu.config import load_config
+from realtime_stereo_matcher_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+from realtime_stereo_matcher_tpu.train.trainer import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def _tiny_config(tmp_path, steps=8, batch=8):
+    return load_config({
+        "name": "TINY", "path": str(tmp_path),
+        "train": {"batch_size": batch, "restore_checkpoint": "",
+                  "save_checkpoint_frequency": 1000, "datasets": [],
+                  "learn_rate": 1e-3, "num_of_steps": steps,
+                  "weight_decay": 1e-5,
+                  "loss": {"type": "SequenceLoss",
+                           "parameters": {"loss_gamma": 0.9,
+                                          "max_flow_magnitude": 700}}},
+        "model": {"type": "MobileStereoNetV2",
+                  "parameters": {"down_factor": 3, "max_disp": 32,
+                                 "refine_dim": 7,
+                                 "refine_dilates": [1, 1], "hidden_dim": 8}},
+        "data": {"image_size": [32, 48], "spatial_scale": [-0.2, 0.4],
+                 "do_flip": False, "no_y_jitter": False},
+    })
+
+
+def _synthetic_batch(rng, batch, h, w):
+    img1 = rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32)
+    # right = left shifted by 4 px -> constant disparity 4
+    img2 = np.roll(img1, -4, axis=2)
+    flow = np.full((batch, h, w, 1), -4.0, np.float32)
+    valid = np.ones((batch, h, w), np.float32)
+    return img1, img2, flow, valid
+
+
+def test_train_step_descends_and_shards(tmp_path, rng):
+    cfg = _tiny_config(tmp_path)
+    model, tx, schedule, state = create_train_state(cfg)
+    step_fn = jax.jit(make_train_step(model, tx,
+                                      cfg.train.loss.parameters),
+                      donate_argnums=(0,))
+
+    mesh = make_mesh()  # 8 CPU devices -> data=8, spatial=1
+    assert mesh.shape["data"] == 8
+    state = jax.device_put(state, replicated(mesh))
+
+    img1, img2, flow, valid = _synthetic_batch(rng, 8, 32, 48)
+    batch = shard_batch(mesh, (img1, img2, flow, valid))
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, *batch)
+        losses.append(float(metrics["live_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = _tiny_config(tmp_path)
+    model, tx, schedule, state = create_train_state(cfg)
+    step_fn = jax.jit(make_train_step(model, tx, cfg.train.loss.parameters))
+    img1, img2, flow, valid = _synthetic_batch(rng, 2, 32, 48)
+    state, _ = step_fn(state, jnp.asarray(img1), jnp.asarray(img2),
+                       jnp.asarray(flow), jnp.asarray(valid))
+
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, state)
+
+    _, _, _, fresh = create_train_state(cfg)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (full-state resume, unlike the reference)
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_onecycle_schedule_matches_torch():
+    """Schedule endpoints/peak per torch OneCycleLR(linear) semantics."""
+    from realtime_stereo_matcher_tpu.train.optim import onecycle_schedule
+
+    lr, steps = 2e-4, 1000
+    sched = onecycle_schedule(lr, steps)
+    total = steps + 100
+    assert float(sched(0)) == pytest.approx(lr / 25, rel=1e-3)
+    peak_step = int(0.01 * total)
+    assert float(sched(peak_step)) == pytest.approx(lr, rel=5e-2)
+    assert float(sched(total)) == pytest.approx(lr / 25 / 1e4, rel=0.55)
+    # monotone decreasing after peak
+    mid, late = float(sched(total // 2)), float(sched(int(total * 0.9)))
+    assert mid > late
