@@ -1,0 +1,142 @@
+"""RefineNet cascade on the fused Pallas conv3x3 kernel (inference path).
+
+The reference's RefineNet (model/mobile_stereo_net.py:59-87 and the v2/v3
+variants) is 1 entry conv + 6 dilated ResBlocks (2 convs each) + 1 head conv
+-- 14 3x3 convs at up to full 720p resolution, the dominant inference cost.
+This module runs that stack entirely in the flat lane-folded layout of
+:mod:`realtime_stereo_matcher_tpu.kernels.conv3x3`: pad/fold once, 14 fused
+conv+BN+ReLU(+residual) kernels back-to-back, unfold once.
+
+Precision: the disparity state is carried in float32 outside the stack (bf16
+would quantize sub-pixel disparity at ~0.8px granularity); inside the stack
+activations are bf16 features with f32 matmul accumulation, and the final
+``relu(disp + delta)`` runs in f32.
+
+Weight folding happens **once at plan-build time** (numpy, outside jit) via
+:func:`build_refine_plan`; the jitted forward closes over the folded blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
+from realtime_stereo_matcher_tpu.ops import resize_bilinear, warp_by_flow_map
+
+LANES = k3.LANES
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """One fused conv in the stack (weights already lane-folded)."""
+
+    blocks: jnp.ndarray       # (9, 128, 128) from fold_conv3x3_weights
+    scale: jnp.ndarray        # (128,) f32 epilogue scale (BN folded)
+    bias: jnp.ndarray         # (128,) f32 epilogue bias
+    dilation: int
+    relu: bool
+    res_from: int | None      # history index whose activation is added post-ReLU
+
+
+def _fold_convbn(conv_p, bn_p, bn_s, dilation, c_pad=32):
+    """Flax ConvBN params -> (blocks, scale, bias) with eval-mode BN folded."""
+    w = np.asarray(conv_p["kernel"], np.float32)  # HWIO
+    c_out = w.shape[-1]
+    blocks = k3.fold_conv3x3_weights(w, dilation=dilation,
+                                     c_in_pad=c_pad, c_out_pad=c_pad)
+    scale, bias = k3.fold_bn_scale_bias(
+        jnp.asarray(bn_p["scale"], jnp.float32),
+        jnp.asarray(bn_p["bias"], jnp.float32),
+        jnp.asarray(bn_s["mean"], jnp.float32),
+        jnp.asarray(bn_s["var"], jnp.float32),
+        1e-5, c_out, c_pad)
+    return blocks, scale, bias
+
+
+def build_refine_plan(params, batch_stats,
+                      dilations: Sequence[int] = (1, 2, 4, 8, 1, 1),
+                      c_pad: int = 32) -> list[ConvSpec]:
+    """Fold one RefineNet's Flax params into a kernel execution plan.
+
+    ``params`` / ``batch_stats`` are the ``RefineNet_i`` sub-trees of the
+    MobileStereoNet variables.  Layout (from models/stereo_net.py:102-124):
+    ConvBN_0 entry conv, ResBlock_0..N-1 (ConvBN_0, ConvBN_1 each), Conv_0
+    head.  ``res_from`` indexes the activation *history*: history[j] is the
+    output of specs[j-1] (history[0] is the stack input).
+    """
+    specs: list[ConvSpec] = []
+
+    blocks, scale, bias = _fold_convbn(
+        params["ConvBN_0"]["Conv_0"], params["ConvBN_0"]["BatchNorm_0"],
+        batch_stats["ConvBN_0"]["BatchNorm_0"], 1, c_pad)
+    specs.append(ConvSpec(blocks, scale, bias, 1, True, None))
+
+    for bi, d in enumerate(dilations):
+        rb_p = params[f"ResBlock_{bi}"]
+        rb_s = batch_stats[f"ResBlock_{bi}"]
+        block_in = len(specs)  # history index of this ResBlock's input
+        for ci in range(2):
+            blocks, scale, bias = _fold_convbn(
+                rb_p[f"ConvBN_{ci}"]["Conv_0"],
+                rb_p[f"ConvBN_{ci}"]["BatchNorm_0"],
+                rb_s[f"ConvBN_{ci}"]["BatchNorm_0"], d, c_pad)
+            res = block_in if ci == 1 else None
+            specs.append(ConvSpec(blocks, scale, bias, d, True, res))
+
+    head = params["Conv_0"]
+    w = np.asarray(head["kernel"], np.float32)
+    blocks = k3.fold_conv3x3_weights(w, dilation=1, c_in_pad=c_pad,
+                                     c_out_pad=c_pad)
+    scale, bias = k3.plain_scale_bias(
+        jnp.asarray(head.get("bias"), jnp.float32)
+        if head.get("bias") is not None else None, w.shape[-1], c_pad)
+    specs.append(ConvSpec(blocks, scale, bias, 1, False, None))
+    return specs
+
+
+def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
+    """Run the folded conv plan on a flat activation; returns the head's flat
+    output (channel 0 of each fold position is the residual-disparity delta)."""
+    history = [xf]
+    for spec in specs:
+        res = history[spec.res_from] if spec.res_from is not None else None
+        y = k3.fused_conv3x3_flat(
+            history[-1], spec.blocks, spec.scale, spec.bias,
+            dilation=spec.dilation, relu=spec.relu, residual=res)
+        history.append(y)
+    return history[-1]
+
+
+def fast_refine(disp, l_guide, r_guide, specs, *, warp_guidance: bool = False,
+                dtype=jnp.bfloat16):
+    """Kernel-path replacement for RefineNet.__call__
+    (models/stereo_net.py:102-124): 2x-upsample disp, concat guidance
+    (optionally warping the right guide), run the conv stack, ReLU-add.
+
+    ``disp`` (B=1, h, w, 1) float32; returns (B=1, 2h, 2w, 1) float32.
+    """
+    h2, w2 = disp.shape[1] * 2, disp.shape[2] * 2
+    disp = resize_bilinear(disp.astype(jnp.float32), (h2, w2)) * 2.0
+
+    feats = [disp]
+    if l_guide.shape[1:3] != (h2, w2):
+        l_guide = resize_bilinear(l_guide, (h2, w2))
+    feats.append(l_guide)
+    if r_guide is not None:
+        if r_guide.shape[1:3] != (h2, w2):
+            r_guide = resize_bilinear(r_guide, (h2, w2))
+        if warp_guidance:
+            r_guide = warp_by_flow_map(r_guide, disp)
+        feats.append(r_guide)
+    x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
+
+    c_in = x.shape[-1]
+    assert c_in <= 32, f"refine input {c_in}ch exceeds the 32-ch fold"
+    xf = k3.to_flat(x, 32)
+    yf = run_refine_stack(xf, specs)
+    delta = k3.from_flat(yf, h2, w2, 1, 32).astype(jnp.float32)
+    return jnp.maximum(disp + delta, 0.0)
