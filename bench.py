@@ -64,19 +64,36 @@ def main():
 
     from realtime_stereo_matcher_tpu.models import build_model
 
-    model = build_model({"type": "MobileStereoNet", "parameters": {}},
-                        dtype=jnp.bfloat16)
+    model = build_model({"type": "MobileStereoNet", "parameters": {}})
     rng = np.random.default_rng(0)
     h, w = 720, 1280
     left = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
     right = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), left[:, :64, :64],
-                           right[:, :64, :64], train=False)
+                           right[:, :64, :64], train=True)
+
+    # flagship path: Pallas kernel inference (models/fast_infer.py); fall
+    # back to the plain Flax/XLA forward if it is unavailable on this backend
+    try:
+        from realtime_stereo_matcher_tpu.models.fast_infer import (
+            make_fast_forward,
+        )
+
+        fast = make_fast_forward(model, variables, dtype=jnp.bfloat16)
+
+        def forward(l, r):
+            return fast(l, r)[-1]
+    except Exception:  # pragma: no cover - safety net for the driver
+        bf16 = build_model({"type": "MobileStereoNet", "parameters": {}},
+                           dtype=jnp.bfloat16)
+
+        def forward(l, r):
+            return bf16.apply(variables, l, r, train=False)[-1]
 
     @jax.jit
     def step(carry):
         l, r = carry
-        out = model.apply(variables, l, r, train=False)[-1]
+        out = forward(l, r)
         # feed the output back so iterations are data-dependent (no overlap,
         # no elision); the epsilon keeps numerics unchanged
         l2 = l + out * jnp.asarray(1e-12, l.dtype)

@@ -122,30 +122,52 @@ def from_flat(xf: jnp.ndarray, h: int, w: int, c: int, c_pad: int):
     return x[..., :c]
 
 
-def _build_kernel(th, wf, wt, dilation, relu, has_res, f):
+def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
+    """Double-buffered pipeline: tile i+1's input DMA overlaps tile i's
+    matmuls, and tile i's output DMA drains while tile i+1 computes."""
     offs = tile_offsets(dilation, f)
     d = dilation
+    assert th >= PADR, (th, PADR)
 
     def kernel(x_hbm, w_ref, sb_ref, res_hbm, out_hbm,
-               xs, rs, ys, acc_ref, sem_in, sem_res, sem_out):
+               xs2, rs2, ys2, acc_ref, sem_in, sem_res, sem_out):
         i = pl.program_id(0)
-        row0 = PADR + i * th
+        slot = jax.lax.rem(i, 2)
 
-        # DMA the row tile + dilation halo from HBM
-        cp_in = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(row0 - d, th + 2 * d)], xs, sem_in)
-        cp_in.start()
-        if has_res:
-            cp_res = pltpu.make_async_copy(
-                res_hbm.at[pl.ds(row0, th)], rs, sem_res)
-            cp_res.start()
-        cp_in.wait()
+        def in_copy(j, s):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(PADR + j * th - d, th + 2 * d)],
+                xs2.at[s], sem_in.at[s])
+
+        def res_copy(j, s):
+            return pltpu.make_async_copy(
+                res_hbm.at[pl.ds(PADR + j * th, th)], rs2.at[s],
+                sem_res.at[s])
+
+        def out_copy(j, s):
+            return pltpu.make_async_copy(
+                ys2.at[s], out_hbm.at[pl.ds(PADR + j * th, th)],
+                sem_out.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if has_res:
+                res_copy(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            in_copy(i + 1, 1 - slot).start()
+            if has_res:
+                res_copy(i + 1, 1 - slot).start()
+
+        in_copy(i, slot).wait()
 
         first = True
         for di in range(3):
-            dy = di * d  # xs row 0 == image row (row0 - d)
+            dy = di * d  # xs row 0 == image row (row_base - d)
             for ti, t in enumerate(offs):
-                a = xs[pl.ds(dy, th), pl.ds(PADC_TILES + t, wf), :]
+                a = xs2[slot, pl.ds(dy, th), pl.ds(PADC_TILES + t, wf), :]
                 a = a.reshape(th * wf, LANES)
                 blk = w_ref[di * 3 + ti]
                 prod = jax.lax.dot_general(
@@ -162,45 +184,43 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f):
         y = acc_ref[:] * scale[None, :] + bias[None, :]
         if relu:
             y = jnp.maximum(y, 0.0)
-        y = y.astype(ys.dtype)
+        y = y.astype(ys2.dtype)
         if has_res:
-            cp_res.wait()
-            y = y + rs[:, pl.ds(PADC_TILES, wf), :].reshape(th * wf, LANES)
-        ys[:, pl.ds(PADC_TILES, wf), :] = y.reshape(th, wf, LANES)
+            res_copy(i, slot).wait()
+            y = y + rs2[slot, :, pl.ds(PADC_TILES, wf), :].reshape(
+                th * wf, LANES)
+
+        # ys2[slot] may still be draining from tile i-2 -- wait before reuse
+        if n > 2:
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+        ys2[slot, :, pl.ds(PADC_TILES, wf), :] = y.reshape(th, wf, LANES)
         # keep halo columns zero for the next conv's SAME padding
-        zcol = jnp.zeros((th, PADC_TILES, LANES), ys.dtype)
-        ys[:, pl.ds(0, PADC_TILES), :] = zcol
-        ys[:, pl.ds(PADC_TILES + wf, PADC_TILES), :] = zcol
+        zcol = jnp.zeros((th, PADC_TILES, LANES), ys2.dtype)
+        ys2[slot, :, pl.ds(0, PADC_TILES), :] = zcol
+        ys2[slot, :, pl.ds(PADC_TILES + wf, PADC_TILES), :] = zcol
+        out_copy(i, slot).start()
 
-        cp_out = pltpu.make_async_copy(
-            ys, out_hbm.at[pl.ds(row0, th)], sem_out)
-        cp_out.start()
-
-        # first/last tiles also zero the halo rows (reuse ys after out DMA)
-        @pl.when((i == 0) | (i == pl.num_programs(0) - 1))
+        # last tile: drain all outstanding output DMAs, then write the
+        # zero halo rows (reusing ys2[slot] after its drain)
+        @pl.when(i == n - 1)
         def _():
-            cp_out.wait()
-            ys[...] = jnp.zeros((th, wt, LANES), ys.dtype)
-
-            @pl.when(i == 0)
-            def _():
-                cp0 = pltpu.make_async_copy(
-                    ys.at[pl.ds(0, PADR)], out_hbm.at[pl.ds(0, PADR)],
-                    sem_out)
-                cp0.start()
-                cp0.wait()
-
-            @pl.when(i == pl.num_programs(0) - 1)
-            def _():
-                cp1 = pltpu.make_async_copy(
-                    ys.at[pl.ds(0, PADR)],
-                    out_hbm.at[pl.ds(row0 + th, PADR)], sem_out)
-                cp1.start()
-                cp1.wait()
-
-        @pl.when((i != 0) & (i != pl.num_programs(0) - 1))
-        def _():
-            cp_out.wait()
+            out_copy(i, slot).wait()
+            if n > 1:
+                out_copy(i - 1, 1 - slot).wait()
+            ys2[slot] = jnp.zeros((th, wt, LANES), ys2.dtype)
+            top = pltpu.make_async_copy(
+                ys2.at[slot, pl.ds(0, PADR)], out_hbm.at[pl.ds(0, PADR)],
+                sem_out.at[slot])
+            top.start()
+            top.wait()
+            bot = pltpu.make_async_copy(
+                ys2.at[slot, pl.ds(0, PADR)],
+                out_hbm.at[pl.ds(PADR + n * th, PADR)], sem_out.at[slot])
+            bot.start()
+            bot.wait()
 
     return kernel
 
@@ -215,7 +235,7 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
     has_res = residual is not None
     res = residual if has_res else jnp.zeros((1, 1, LANES), xf.dtype)
 
-    kernel = _build_kernel(th, wf, wt, dilation, relu, has_res, f)
+    kernel = _build_kernel(th, wf, wt, dilation, relu, has_res, f, n_tiles)
     # interpret mode off-TPU so the CPU test mesh can validate numerics
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
@@ -231,13 +251,14 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((rows, wt, LANES), xf.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * dilation, wt, LANES), xf.dtype),
-            pltpu.VMEM((th, wt, LANES), xf.dtype),
-            pltpu.VMEM((th, wt, LANES), xf.dtype),
+            pltpu.VMEM((2, th + 2 * dilation, wt, LANES), xf.dtype),
+            pltpu.VMEM((2, th, wt, LANES) if has_res else (1, 1, 1, LANES),
+                       xf.dtype),
+            pltpu.VMEM((2, th, wt, LANES), xf.dtype),
             pltpu.VMEM((th * wf, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * h * wf * LANES * LANES,
@@ -245,6 +266,27 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
             transcendentals=0),
     )(xf, w_blocks.astype(xf.dtype), scale_bias, res)
     return out
+
+
+def _pick_tile_height(h: int, dtype, dilation: int, has_res: bool,
+                      wt: int, wf: int, prefer: int) -> int:
+    """Largest divisor of h that is >= 8, <= prefer, and fits the double
+    buffers + accumulator in a 14 MB VMEM budget."""
+    itemsize = jnp.dtype(dtype).itemsize
+    # 16 MB VMEM minus headroom for weight blocks, scale/bias, and the
+    # compiler's own scratch/padding (measured ~2.5 MB at 720p shapes)
+    budget = 12 * 1024 * 1024
+
+    def vmem(th):
+        buffers = 2 * (th + 2 * dilation) * wt + 2 * th * wt
+        if has_res:
+            buffers += 2 * th * wt
+        return buffers * LANES * itemsize + th * wf * LANES * 4
+
+    for th in range(min(prefer, h), 7, -1):
+        if h % th == 0 and vmem(th) <= budget:
+            return th
+    raise ValueError(f"no tile height for h={h} (needs a divisor in [8,{prefer}])")
 
 
 def fused_conv3x3_flat(xf, w_blocks, scale, bias, *, dilation=1, relu=True,
@@ -259,11 +301,11 @@ def fused_conv3x3_flat(xf, w_blocks, scale, bias, *, dilation=1, relu=True,
     Returns:
       flat (rows, WT, 128) output with zeroed halos.
     """
-    h = xf.shape[0] - 2 * PADR
-    # pick a tile height dividing H (prefer ~th)
-    t = min(th, h)
-    while h % t != 0:
-        t -= 1
+    rows, wt, _ = xf.shape
+    h = rows - 2 * PADR
+    wf = wt - 2 * PADC_TILES
+    t = _pick_tile_height(h, xf.dtype, dilation, residual is not None,
+                          wt, wf, prefer=th)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)
     return _conv_call(xf, w_blocks, sb, residual,
                       dilation=dilation, relu=relu, th=t, f=4)

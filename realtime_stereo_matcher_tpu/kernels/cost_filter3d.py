@@ -1,0 +1,225 @@
+"""Pallas TPU kernel: fused 3x3x3 convolution stack for the cost volume.
+
+The v1/v2/v3 cost filter (reference model/mobile_stereo_net.py:103-117; Flax
+CostFilter3D in models/stereo_net.py:52-67) is five Conv3d(3,3,3) layers over
+an NDHWC volume (B=1, D=24, H/8, W/8, 32) -- ~4.4 ms of XLA time at 720p,
+second only to the RefineNet cascade.
+
+Same lane-folding trick as :mod:`conv3x3` (4 pixels x 32 channels per
+128-lane tile), extended with the depth axis: a 3x3x3 conv becomes **27
+dense (H*Wf, 128) @ (128, 128) matmuls** -- one per (depth-tap dz, row-tap
+dy, column-tile offset t) -- accumulated in f32, with BN+bias+ReLU fused
+into the epilogue.
+
+Layout: ``(D + 2, PADR + H + PADR, PADC + Wf + PADC, 128)`` -- the flat 2D
+layout of conv3x3 per disparity slab, with one zero halo slab at each end of
+D (SAME zero padding along disparity).  The kernel grid iterates over output
+slabs; each program DMAs its three input slabs, runs the 27 matmuls, and
+writes one output slab.  The layout is preserved across the whole 5-layer
+stack: fold once, filter five times, unfold once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
+
+LANES = k3.LANES
+PADR = k3.PADR
+PADC = k3.PADC_TILES
+
+
+def fold_conv3d_weights(w: jnp.ndarray, c_in_pad: int = 32,
+                        c_out_pad: int = 32) -> jnp.ndarray:
+    """(3, 3, 3, C_in, C_out) DHWIO conv weights -> (27, 128, 128) blocks.
+
+    Block k = dz*9 + (dy*3 + t) reuses the 2D fold of slab dz."""
+    kd = w.shape[0]
+    assert kd == 3
+    per_slab = [
+        k3.fold_conv3x3_weights(w[dz], dilation=1, c_in_pad=c_in_pad,
+                                c_out_pad=c_out_pad)
+        for dz in range(3)
+    ]
+    return jnp.concatenate(per_slab, axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Conv3dSpec:
+    blocks: jnp.ndarray   # (27, 128, 128)
+    scale: jnp.ndarray    # (128,) f32
+    bias: jnp.ndarray     # (128,) f32
+    relu: bool
+
+
+def vol_to_flat(vol: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
+    """(B=1, D, H, W, C) -> (D+2, PADR+H+PADR, PADC+W/f+PADC, 128)."""
+    b, dvol, h, w, c = vol.shape
+    assert b == 1
+    f = LANES // c_pad
+    assert w % f == 0 and (w // f) % 8 == 0, (w, f)
+    if c < c_pad:
+        vol = jnp.pad(vol, ((0, 0),) * 4 + ((0, c_pad - c),))
+    xf = vol[0].reshape(dvol, h, w // f, LANES)
+    return jnp.pad(xf, ((1, 1), (PADR, PADR), (PADC, PADC), (0, 0)))
+
+
+def flat_to_vol(xf: jnp.ndarray, h: int, w: int, c: int,
+                c_pad: int = 32) -> jnp.ndarray:
+    """Inverse of :func:`vol_to_flat` -> (1, D, H, W, C)."""
+    f = LANES // c_pad
+    dvol = xf.shape[0] - 2
+    core = xf[1:1 + dvol, PADR:PADR + h, PADC:PADC + w // f, :]
+    return core.reshape(dvol, h, w, c_pad)[None, ..., :c]
+
+
+def _build_kernel(h, wf, wt, relu, n_slabs):
+    offs = (-1, 0, 1)
+
+    def kernel(x_hbm, w_ref, sb_ref, out_hbm, xs, ys, acc_ref,
+               sem_in, sem_out):
+        d = pl.program_id(0)
+
+        # DMA the three input slabs (d-1, d, d+1 in padded coords = d..d+2)
+        cp_in = pltpu.make_async_copy(x_hbm.at[pl.ds(d, 3)], xs, sem_in)
+        cp_in.start()
+        cp_in.wait()
+
+        first = True
+        for dz in range(3):
+            for dy in range(3):
+                for ti, t in enumerate(offs):
+                    a = xs[dz, pl.ds(PADR + dy - 1, h), pl.ds(PADC + t, wf), :]
+                    a = a.reshape(h * wf, LANES)
+                    blk = w_ref[dz * 9 + dy * 3 + ti]
+                    prod = jax.lax.dot_general(
+                        a, blk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if first:
+                        acc_ref[:] = prod
+                        first = False
+                    else:
+                        acc_ref[:] += prod
+
+        y = acc_ref[:] * sb_ref[0][None, :] + sb_ref[1][None, :]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        ys[PADR:PADR + h, pl.ds(PADC, wf), :] = y.reshape(h, wf, LANES).astype(
+            ys.dtype)
+        # zero halos (rows, cols) so the next layer's SAME padding holds
+        zrow = jnp.zeros((PADR, wt, LANES), ys.dtype)
+        ys[pl.ds(0, PADR)] = zrow
+        ys[pl.ds(PADR + h, PADR)] = zrow
+        zcol = jnp.zeros((h, PADC, LANES), ys.dtype)
+        ys[PADR:PADR + h, pl.ds(0, PADC), :] = zcol
+        ys[PADR:PADR + h, pl.ds(PADC + wf, PADC), :] = zcol
+
+        cp_out = pltpu.make_async_copy(
+            ys, out_hbm.at[d + 1], sem_out)
+        cp_out.start()
+        cp_out.wait()
+
+        # first/last slab also write the zero halo slabs of the output
+        @pl.when(d == 0)
+        def _():
+            ys[...] = jnp.zeros(ys.shape, ys.dtype)
+            cp0 = pltpu.make_async_copy(ys, out_hbm.at[0], sem_out)
+            cp0.start()
+            cp0.wait()
+
+        @pl.when(d == n_slabs - 1)
+        def _():
+            ys[...] = jnp.zeros(ys.shape, ys.dtype)
+            cp1 = pltpu.make_async_copy(ys, out_hbm.at[n_slabs + 1], sem_out)
+            cp1.start()
+            cp1.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("relu",))
+def _conv3d_call(xf, w_blocks, scale_bias, *, relu):
+    slabs, rows, wt, _ = xf.shape
+    n_slabs = slabs - 2
+    h = rows - 2 * PADR
+    wf = wt - 2 * PADC
+
+    kernel = _build_kernel(h, wf, wt, relu, n_slabs)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(n_slabs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((slabs, rows, wt, LANES), xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, rows, wt, LANES), xf.dtype),
+            pltpu.VMEM((rows, wt, LANES), xf.dtype),
+            pltpu.VMEM((h * wf, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 27 * n_slabs * h * wf * LANES * LANES,
+            bytes_accessed=4 * slabs * rows * wt * LANES * 2,
+            transcendentals=0),
+    )(xf, w_blocks.astype(xf.dtype), scale_bias)
+
+
+def fused_conv3d_flat(xf, spec: Conv3dSpec):
+    sb = jnp.stack([spec.scale, spec.bias]).astype(jnp.float32)
+    return _conv3d_call(xf, spec.blocks, sb, relu=spec.relu)
+
+
+def build_cost_filter_plan(params, batch_stats, c_pad: int = 32
+                           ) -> list[Conv3dSpec]:
+    """Fold CostFilter3D Flax params (models/stereo_net.py:52-67) into specs:
+    four ConvBN(3,3,3)+ReLU layers then a bias-only Conv3d collapsing to 1."""
+    specs: list[Conv3dSpec] = []
+    for i in range(4):
+        conv_p = params[f"ConvBN_{i}"]["Conv_0"]
+        bn_p = params[f"ConvBN_{i}"]["BatchNorm_0"]
+        bn_s = batch_stats[f"ConvBN_{i}"]["BatchNorm_0"]
+        w = np.asarray(conv_p["kernel"], np.float32)
+        blocks = fold_conv3d_weights(w, c_pad, c_pad)
+        scale, bias = k3.fold_bn_scale_bias(
+            jnp.asarray(bn_p["scale"], jnp.float32),
+            jnp.asarray(bn_p["bias"], jnp.float32),
+            jnp.asarray(bn_s["mean"], jnp.float32),
+            jnp.asarray(bn_s["var"], jnp.float32),
+            1e-5, w.shape[-1], c_pad)
+        specs.append(Conv3dSpec(blocks, scale, bias, True))
+
+    head = params["Conv_0"]
+    w = np.asarray(head["kernel"], np.float32)
+    blocks = fold_conv3d_weights(w, c_pad, c_pad)
+    scale, bias = k3.plain_scale_bias(
+        jnp.asarray(head["bias"], jnp.float32), w.shape[-1], c_pad)
+    specs.append(Conv3dSpec(blocks, scale, bias, False))
+    return specs
+
+
+def fast_cost_filter(vol: jnp.ndarray, specs: Sequence[Conv3dSpec],
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B=1, D, h, w, C) difference volume -> (B=1, D, h, w) filtered cost,
+    kernel-path equivalent of ``CostFilter3D.apply(..., train=False)``."""
+    b, dvol, h, w, c = vol.shape
+    xf = vol_to_flat(vol.astype(dtype))
+    for spec in specs:
+        xf = fused_conv3d_flat(xf, spec)
+    out = flat_to_vol(xf, h, w, 1)  # (1, D, h, w, 1), channel 0 = cost
+    return out[..., 0].astype(jnp.float32)

@@ -24,12 +24,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from realtime_stereo_matcher_tpu.kernels.cost_filter3d import (
+    build_cost_filter_plan,
+    fast_cost_filter,
+)
 from realtime_stereo_matcher_tpu.kernels.refine_stack import (
     build_refine_plan,
     fast_refine,
 )
 from realtime_stereo_matcher_tpu.models.stereo_net import (
-    CostFilter3D,
     FeatureEncoder,
     MobileStereoNet,
     MobileStereoNetV2,
@@ -37,7 +40,27 @@ from realtime_stereo_matcher_tpu.models.stereo_net import (
     _full_res_nearest,
 )
 from realtime_stereo_matcher_tpu.models.layers import normalize_images
-from realtime_stereo_matcher_tpu.ops import pad_to_multiple
+
+
+def _alignment_pad(h: int, w: int, down: int) -> tuple[int, int]:
+    """Zero-pad amounts so every kernel level is lane-fold/tile friendly.
+
+    W must make the *volume-level* flat width (W / 2^down / 4) a multiple of
+    8 lanes-tiles => W % (32 << down) == 0.  H must give every refine-level
+    height a tile divisor in [8, 24] (VMEM-sized double buffers).
+    """
+    w_pad = (-w) % (32 << down)
+    step = 1 << down
+    hp = ((h + step - 1) // step) * step
+
+    def ok(x):
+        return all(
+            any(lvl % t == 0 for t in range(8, 25))
+            for lvl in (x >> (down - 1 - i) for i in range(down)))
+
+    while not ok(hp):
+        hp += step
+    return hp - h, w_pad
 
 
 def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
@@ -66,21 +89,25 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
     encoder = FeatureEncoder(model.hidden_dim, down, dtype=dtype)
     enc_vars = {"params": params["FeatureEncoder_0"],
                 "batch_stats": batch_stats["FeatureEncoder_0"]}
-    cost_filter = CostFilter3D(model.hidden_dim, dtype=dtype)
-    cf_vars = {"params": params["CostFilter3D_0"],
-               "batch_stats": batch_stats["CostFilter3D_0"]}
+    cf_plan = build_cost_filter_plan(params["CostFilter3D_0"],
+                                     batch_stats["CostFilter3D_0"])
 
     def forward(left_img, right_img):
         left = normalize_images(left_img, dtype)
         right = normalize_images(right_img, dtype)
-        left, orig_hw = pad_to_multiple(left, align)
-        right, _ = pad_to_multiple(right, align)
+        orig_hw = left.shape[1:3]
+        h_pad, w_pad = _alignment_pad(orig_hw[0], orig_hw[1], down)
+        pads = ((0, 0), (0, h_pad), (0, w_pad), (0, 0))
+        left = jnp.pad(left, pads)
+        right = jnp.pad(right, pads)
 
-        lf = encoder.apply(enc_vars, left, False)
-        rf = encoder.apply(enc_vars, right, False)
+        # one batch-2 encoder pass instead of two batch-1 passes (~1ms at 720p)
+        feats = encoder.apply(
+            enc_vars, jnp.concatenate([left, right], axis=0), False)
+        lf, rf = feats[:1], feats[1:]
         x = _coarse_disparity(
             lf, rf, vol_disp,
-            lambda vol, train: cost_filter.apply(cf_vars, vol, train),
+            lambda vol, train: fast_cost_filter(vol, cf_plan, dtype=dtype),
             False).astype(jnp.float32)
 
         multi_scale = []

@@ -9,7 +9,7 @@ from realtime_stereo_matcher_tpu.models import build_model
 from realtime_stereo_matcher_tpu.models.fast_infer import make_fast_forward
 
 
-def _init(model_type, rng, h=48, w=128):
+def _init(model_type, rng, h=48, w=256):
     model = build_model({"type": model_type, "parameters": {}})
     left = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
     right = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
