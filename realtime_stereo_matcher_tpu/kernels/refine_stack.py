@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,18 @@ class ConvSpec:
     res_from: int | None      # history index whose activation is added post-ReLU
 
 
+@dataclasses.dataclass(frozen=True)
+class RefinePlan:
+    """Execution plan for one RefineNet: optional XLA entry conv (used when
+    the concat input exceeds the 32-channel lane fold, e.g. v3's 65ch) plus
+    the lane-folded kernel stack."""
+
+    specs: tuple               # tuple[ConvSpec, ...]
+    entry_w: jnp.ndarray | None = None      # (3, 3, C_in, 32) HWIO
+    entry_scale: jnp.ndarray | None = None  # (32,) eval-BN folded
+    entry_bias: jnp.ndarray | None = None   # (32,)
+
+
 def _fold_convbn(conv_p, bn_p, bn_s, dilation, c_pad=32):
     """Flax ConvBN params -> (blocks, scale, bias) with eval-mode BN folded."""
     w = np.asarray(conv_p["kernel"], np.float32)  # HWIO
@@ -57,9 +70,18 @@ def _fold_convbn(conv_p, bn_p, bn_s, dilation, c_pad=32):
     return blocks, scale, bias
 
 
+def _fold_bn_eval(bn_p, bn_s):
+    """Eval-mode BN -> unfolded (C,) scale/bias for an XLA epilogue."""
+    scale = np.asarray(bn_p["scale"], np.float32) / np.sqrt(
+        np.asarray(bn_s["var"], np.float32) + 1e-5)
+    bias = (np.asarray(bn_p["bias"], np.float32)
+            - np.asarray(bn_s["mean"], np.float32) * scale)
+    return jnp.asarray(scale), jnp.asarray(bias)
+
+
 def build_refine_plan(params, batch_stats,
                       dilations: Sequence[int] = (1, 2, 4, 8, 1, 1),
-                      c_pad: int = 32) -> list[ConvSpec]:
+                      c_pad: int = 32, entry_channels: int = 32) -> RefinePlan:
     """Fold one RefineNet's Flax params into a kernel execution plan.
 
     ``params`` / ``batch_stats`` are the ``RefineNet_i`` sub-trees of the
@@ -67,13 +89,24 @@ def build_refine_plan(params, batch_stats,
     ConvBN_0 entry conv, ResBlock_0..N-1 (ConvBN_0, ConvBN_1 each), Conv_0
     head.  ``res_from`` indexes the activation *history*: history[j] is the
     output of specs[j-1] (history[0] is the stack input).
+
+    If ``entry_channels`` exceeds the lane fold (v3: 65), the entry conv is
+    kept as an XLA conv with eval-folded BN instead of a kernel spec.
     """
     specs: list[ConvSpec] = []
+    entry_w = entry_scale = entry_bias = None
 
-    blocks, scale, bias = _fold_convbn(
-        params["ConvBN_0"]["Conv_0"], params["ConvBN_0"]["BatchNorm_0"],
-        batch_stats["ConvBN_0"]["BatchNorm_0"], 1, c_pad)
-    specs.append(ConvSpec(blocks, scale, bias, 1, True, None))
+    if entry_channels > c_pad:
+        entry_w = jnp.asarray(params["ConvBN_0"]["Conv_0"]["kernel"],
+                              jnp.float32)
+        entry_scale, entry_bias = _fold_bn_eval(
+            params["ConvBN_0"]["BatchNorm_0"],
+            batch_stats["ConvBN_0"]["BatchNorm_0"])
+    else:
+        blocks, scale, bias = _fold_convbn(
+            params["ConvBN_0"]["Conv_0"], params["ConvBN_0"]["BatchNorm_0"],
+            batch_stats["ConvBN_0"]["BatchNorm_0"], 1, c_pad)
+        specs.append(ConvSpec(blocks, scale, bias, 1, True, None))
 
     for bi, d in enumerate(dilations):
         rb_p = params[f"ResBlock_{bi}"]
@@ -95,7 +128,7 @@ def build_refine_plan(params, batch_stats,
         jnp.asarray(head.get("bias"), jnp.float32)
         if head.get("bias") is not None else None, w.shape[-1], c_pad)
     specs.append(ConvSpec(blocks, scale, bias, 1, False, None))
-    return specs
+    return RefinePlan(tuple(specs), entry_w, entry_scale, entry_bias)
 
 
 def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
@@ -111,8 +144,8 @@ def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
     return history[-1]
 
 
-def fast_refine(disp, l_guide, r_guide, specs, *, warp_guidance: bool = False,
-                dtype=jnp.bfloat16):
+def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
+                warp_guidance: bool = False, dtype=jnp.bfloat16):
     """Kernel-path replacement for RefineNet.__call__
     (models/stereo_net.py:102-124): 2x-upsample disp, concat guidance
     (optionally warping the right guide), run the conv stack, ReLU-add.
@@ -134,9 +167,19 @@ def fast_refine(disp, l_guide, r_guide, specs, *, warp_guidance: bool = False,
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
 
-    c_in = x.shape[-1]
-    assert c_in <= 32, f"refine input {c_in}ch exceeds the 32-ch fold"
+    if plan.entry_w is not None:
+        # wide entry conv (v3: 65ch) stays in XLA with eval-folded BN + ReLU
+        y = jax.lax.conv_general_dilated(
+            x, plan.entry_w.astype(dtype), (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jnp.maximum(
+            y * plan.entry_scale.astype(dtype)
+            + plan.entry_bias.astype(dtype), 0)
+    else:
+        c_in = x.shape[-1]
+        assert c_in <= 32, f"refine input {c_in}ch exceeds the 32-ch fold"
+
     xf = k3.to_flat(x, 32)
-    yf = run_refine_stack(xf, specs)
+    yf = run_refine_stack(xf, plan.specs)
     delta = k3.from_flat(yf, h2, w2, 1, 32).astype(jnp.float32)
     return jnp.maximum(disp + delta, 0.0)

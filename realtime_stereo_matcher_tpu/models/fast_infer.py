@@ -14,10 +14,10 @@ test pins fast-path output to the reference Flax path.
 
 Weight folding (numpy) happens once, at build time, outside jit.
 
-Constraints: batch 1 (latency path), eval mode, input W a multiple of
-8 * 2**down_factor so every refine level's folded width is 8-lane-tile
-aligned.  v3 is not yet wired (its refine input is 65 channels, exceeding
-the 32-channel lane fold; its stack-tail could be folded separately).
+Constraints: batch 1 (latency path), eval mode.  Inputs of any size are
+zero-padded to lane-tile-friendly shapes and cropped back (exactly like the
+models' own /2^k padding).  For v3 the 65-channel refine entry conv stays in
+XLA; the remaining 13 convs per level run in the kernel.
 """
 
 from __future__ import annotations
@@ -36,6 +36,8 @@ from realtime_stereo_matcher_tpu.models.stereo_net import (
     FeatureEncoder,
     MobileStereoNet,
     MobileStereoNetV2,
+    MobileStereoNetV3,
+    UNetFeatureExtractor,
     _coarse_disparity,
     _full_res_nearest,
 )
@@ -64,14 +66,17 @@ def _alignment_pad(h: int, w: int, down: int) -> tuple[int, int]:
 
 
 def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
-    """Build the kernel-path forward for a v1/v2 model + trained variables."""
-    if isinstance(model, MobileStereoNetV2):
-        warp_guidance = True
+    """Build the kernel-path forward for a v1/v2/v3 model + variables."""
+    if isinstance(model, MobileStereoNetV3):
+        variant = "v3"
+    elif isinstance(model, MobileStereoNetV2):
+        variant = "v2"
     elif isinstance(model, MobileStereoNet):
-        warp_guidance = False
+        variant = "v1"
     else:
         raise NotImplementedError(
-            f"fast inference path supports v1/v2, not {type(model).__name__}")
+            f"fast inference path supports v1/v2/v3, not {type(model).__name__}")
+    warp_guidance = variant in ("v2", "v3")
 
     params = variables["params"]
     batch_stats = variables["batch_stats"]
@@ -79,16 +84,25 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
     align = 2 ** down
     vol_disp = (model.max_disp + 1) // align
 
+    # v3's refine input is 1 + 2*hidden = 65 channels -> XLA entry conv
+    entry_ch = 1 + 2 * model.hidden_dim if variant == "v3" else 32
     plans = [
         build_refine_plan(params[f"RefineNet_{i}"],
                           batch_stats[f"RefineNet_{i}"],
-                          model.refine_dilates)
+                          model.refine_dilates, entry_channels=entry_ch)
         for i in range(down)
     ]
 
-    encoder = FeatureEncoder(model.hidden_dim, down, dtype=dtype)
-    enc_vars = {"params": params["FeatureEncoder_0"],
-                "batch_stats": batch_stats["FeatureEncoder_0"]}
+    if variant == "v3":
+        extractor = UNetFeatureExtractor(
+            hidden_dims=(model.hidden_dim,) * (down + 1), dtype=dtype)
+        enc_vars = {"params": params["UNetFeatureExtractor_0"],
+                    "batch_stats": batch_stats.get("UNetFeatureExtractor_0",
+                                                   {})}
+    else:
+        extractor = FeatureEncoder(model.hidden_dim, down, dtype=dtype)
+        enc_vars = {"params": params["FeatureEncoder_0"],
+                    "batch_stats": batch_stats["FeatureEncoder_0"]}
     cf_plan = build_cost_filter_plan(params["CostFilter3D_0"],
                                      batch_stats["CostFilter3D_0"])
 
@@ -101,10 +115,16 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
         left = jnp.pad(left, pads)
         right = jnp.pad(right, pads)
 
-        # one batch-2 encoder pass instead of two batch-1 passes (~1ms at 720p)
-        feats = encoder.apply(
+        # one batch-2 extractor pass instead of two batch-1 passes
+        feats = extractor.apply(
             enc_vars, jnp.concatenate([left, right], axis=0), False)
-        lf, rf = feats[:1], feats[1:]
+        if variant == "v3":
+            l_py = [f[:1] for f in feats]
+            r_py = [f[1:] for f in feats]
+            lf, rf = l_py[0], r_py[0]
+        else:
+            lf, rf = feats[:1], feats[1:]
+
         x = _coarse_disparity(
             lf, rf, vol_disp,
             lambda vol, train: fast_cost_filter(vol, cf_plan, dtype=dtype),
@@ -113,8 +133,13 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
         multi_scale = []
         out_hw = left.shape[1:3]
         for i in range(down):
-            x = fast_refine(x, left, right if warp_guidance else None,
-                            plans[i], warp_guidance=warp_guidance, dtype=dtype)
+            if variant == "v3":
+                l_g, r_g = l_py[i + 1], r_py[i + 1]
+            else:
+                l_g = left
+                r_g = right if warp_guidance else None
+            x = fast_refine(x, l_g, r_g, plans[i],
+                            warp_guidance=warp_guidance, dtype=dtype)
             multi_scale.append(_full_res_nearest(x, out_hw, orig_hw))
         return [-1.0 * m for m in multi_scale]
 

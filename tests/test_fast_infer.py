@@ -17,7 +17,8 @@ def _init(model_type, rng, h=48, w=256):
     return model, variables, left, right
 
 
-@pytest.mark.parametrize("model_type", ["MobileStereoNet", "MobileStereoNetV2"])
+@pytest.mark.parametrize("model_type", ["MobileStereoNet", "MobileStereoNetV2",
+                                        "MobileStereoNetV3"])
 def test_fast_forward_matches_flax(rng, model_type):
     model, variables, left, right = _init(model_type, rng)
     want = model.apply(variables, left, right, train=False)
