@@ -21,6 +21,9 @@ def main():
                         help="model checkpoint file")
     parser.add_argument("--data_root", default=None,
                         help="dataset root override (else RSM_DATA_ROOT)")
+    parser.add_argument("--fast", choices=["auto", "on", "off"], default="auto",
+                        help="Pallas kernel inference path (default: auto = "
+                             "on when running on TPU and the model supports it)")
     args = parser.parse_args()
 
     logging.basicConfig(
@@ -58,7 +61,8 @@ def main():
                   f"{count_parameters(state.params) / 1e6:.4f}M learnable "
                   f"parameters.")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        runner = ModelRunner(model, variables)
+        fast = {"auto": "auto", "on": True, "off": False}[args.fast]
+        runner = ModelRunner(model, variables, fast=fast)
     else:
         runner = ModelRunner(build_model(exp_config.model.as_dict()))
 

@@ -37,27 +37,50 @@ class ModelRunner:
     """Uniform ``runner(left, right) -> [negative disparity]`` wrapper.
 
     Neural models get a per-shape jit cache; classical modules (SGBM) run
-    as-is on host.
+    as-is on host.  ``fast`` selects the Pallas-kernel inference path
+    (models/fast_infer.py): "auto" (default) uses it when the model supports
+    it and a TPU is the default backend; True forces it (interpret-mode on
+    CPU); False always uses the plain Flax forward.
     """
 
-    def __init__(self, model, variables=None, *, jit: bool = True):
+    def __init__(self, model, variables=None, *, jit: bool = True,
+                 fast="auto"):
         self.model = model
         self.variables = variables
         self.is_neural = variables is not None
         self._cache = {}
         self._jit = jit
+        self._fast_fn = None
+        if self.is_neural and (
+                fast is True
+                or (fast == "auto" and jax.default_backend() == "tpu")):
+            try:
+                from realtime_stereo_matcher_tpu.models.fast_infer import (
+                    make_fast_forward,
+                )
+
+                self._fast_fn = make_fast_forward(model, variables)
+                logging.info("ModelRunner: using Pallas kernel path.")
+            except (NotImplementedError, KeyError) as e:
+                if fast is True:
+                    raise
+                logging.info("ModelRunner: kernel path unavailable (%s); "
+                             "using the Flax forward.", e)
 
     def __call__(self, left, right):
         if not self.is_neural:
             return self.model(np.asarray(left), np.asarray(right))
         key = tuple(left.shape)
         if key not in self._cache:
-            if self._jit:
-                fwd = jax.jit(
+            if self._fast_fn is not None:
+                fwd = jax.jit(self._fast_fn) if self._jit else self._fast_fn
+                self._cache[key] = lambda v, a, b: fwd(a, b)
+            elif self._jit:
+                self._cache[key] = jax.jit(
                     lambda v, a, b: self.model.apply(v, a, b, train=False))
             else:
-                fwd = lambda v, a, b: self.model.apply(v, a, b, train=False)
-            self._cache[key] = fwd
+                self._cache[key] = (
+                    lambda v, a, b: self.model.apply(v, a, b, train=False))
         return self._cache[key](self.variables, jnp.asarray(left),
                                 jnp.asarray(right))
 

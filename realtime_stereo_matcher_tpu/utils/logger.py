@@ -58,16 +58,25 @@ class MetricLogger:
     and appends them to ``<log_dir>/scalars.jsonl``.
     """
 
-    def __init__(self, log_dir=None, sum_freq: int = 100, lr_fn=None):
+    def __init__(self, log_dir=None, sum_freq: int = 100, lr_fn=None,
+                 tensorboard: bool = True):
         self.sum_freq = sum_freq
         self.total_steps = 0
         self.running = {}
         self.lr_fn = lr_fn
         self.log_dir = Path(log_dir) if log_dir else None
         self._fp = None
+        self._tb = None
         if self.log_dir:
             self.log_dir.mkdir(parents=True, exist_ok=True)
             self._fp = open(self.log_dir / "scalars.jsonl", "a")
+            if tensorboard:
+                try:  # TB event files like the reference Logger
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(log_dir=str(self.log_dir))
+                except Exception:  # TF/TB not in the image -> JSONL only
+                    self._tb = None
 
     def write_scalars(self, step: int, scalars: dict):
         if self._fp:
@@ -75,6 +84,9 @@ class MetricLogger:
                 k: float(v) for k, v in scalars.items()}}
             self._fp.write(json.dumps(rec) + "\n")
             self._fp.flush()
+        if self._tb:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
 
     def push(self, metrics: dict):
         self.total_steps += 1
@@ -93,3 +105,5 @@ class MetricLogger:
     def close(self):
         if self._fp:
             self._fp.close()
+        if self._tb:
+            self._tb.close()

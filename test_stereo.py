@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--replace", nargs=2, default=["_left_Img", "_right_Img"],
                         help="left->right filename substring replacement")
     parser.add_argument("--output", required=True, help="output path")
+    parser.add_argument("--fast", choices=["auto", "on", "off"], default="auto",
+                        help="Pallas kernel inference path (default: auto)")
     args = parser.parse_args()
 
     logging.basicConfig(
@@ -56,8 +58,10 @@ def main():
         if exp_config.has_train and args.model_chkpt_file:
             logging.info("Loading checkpoint: %s...", args.model_chkpt_file)
             state = restore_checkpoint(args.model_chkpt_file, state)
+        fast = {"auto": "auto", "on": True, "off": False}[args.fast]
         runner = ModelRunner(
-            model, {"params": state.params, "batch_stats": state.batch_stats})
+            model, {"params": state.params, "batch_stats": state.batch_stats},
+            fast=fast)
     else:
         runner = ModelRunner(build_model(exp_config.model.as_dict()))
 
