@@ -127,7 +127,7 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
     matmuls, and tile i's output DMA drains while tile i+1 computes."""
     offs = tile_offsets(dilation, f)
     d = dilation
-    assert th >= PADR, (th, PADR)
+    ysrows = max(th, PADR)  # ys buffer also serves the PADR-row halo writes
 
     def kernel(x_hbm, w_ref, sb_ref, res_hbm, out_hbm,
                xs2, rs2, ys2, acc_ref, sem_in, sem_res, sem_out):
@@ -146,7 +146,7 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
 
         def out_copy(j, s):
             return pltpu.make_async_copy(
-                ys2.at[s], out_hbm.at[pl.ds(PADR + j * th, th)],
+                ys2.at[s, pl.ds(0, th)], out_hbm.at[pl.ds(PADR + j * th, th)],
                 sem_out.at[s])
 
         @pl.when(i == 0)
@@ -196,11 +196,12 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
             def _():
                 out_copy(i - 2, slot).wait()
 
-        ys2[slot, :, pl.ds(PADC_TILES, wf), :] = y.reshape(th, wf, LANES)
+        ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES, wf), :] = y.reshape(
+            th, wf, LANES)
         # keep halo columns zero for the next conv's SAME padding
         zcol = jnp.zeros((th, PADC_TILES, LANES), ys2.dtype)
-        ys2[slot, :, pl.ds(0, PADC_TILES), :] = zcol
-        ys2[slot, :, pl.ds(PADC_TILES + wf, PADC_TILES), :] = zcol
+        ys2[slot, pl.ds(0, th), pl.ds(0, PADC_TILES), :] = zcol
+        ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES + wf, PADC_TILES), :] = zcol
         out_copy(i, slot).start()
 
         # last tile: drain all outstanding output DMAs, then write the
@@ -210,7 +211,7 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
             out_copy(i, slot).wait()
             if n > 1:
                 out_copy(i - 1, 1 - slot).wait()
-            ys2[slot] = jnp.zeros((th, wt, LANES), ys2.dtype)
+            ys2[slot] = jnp.zeros((ysrows, wt, LANES), ys2.dtype)
             top = pltpu.make_async_copy(
                 ys2.at[slot, pl.ds(0, PADR)], out_hbm.at[pl.ds(0, PADR)],
                 sem_out.at[slot])
@@ -254,7 +255,7 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
             pltpu.VMEM((2, th + 2 * dilation, wt, LANES), xf.dtype),
             pltpu.VMEM((2, th, wt, LANES) if has_res else (1, 1, 1, LANES),
                        xf.dtype),
-            pltpu.VMEM((2, th, wt, LANES), xf.dtype),
+            pltpu.VMEM((2, max(th, PADR), wt, LANES), xf.dtype),
             pltpu.VMEM((th * wf, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -270,23 +271,24 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
 
 def _pick_tile_height(h: int, dtype, dilation: int, has_res: bool,
                       wt: int, wf: int, prefer: int) -> int:
-    """Largest divisor of h that is >= 8, <= prefer, and fits the double
-    buffers + accumulator in a 14 MB VMEM budget."""
+    """Largest divisor of h that is <= prefer and fits the double buffers +
+    accumulator in the VMEM budget."""
     itemsize = jnp.dtype(dtype).itemsize
     # 16 MB VMEM minus headroom for weight blocks, scale/bias, and the
     # compiler's own scratch/padding (measured ~2.5 MB at 720p shapes)
     budget = 12 * 1024 * 1024
 
     def vmem(th):
-        buffers = 2 * (th + 2 * dilation) * wt + 2 * th * wt
+        buffers = (2 * (th + 2 * dilation) * wt
+                   + 2 * max(th, PADR) * wt)
         if has_res:
             buffers += 2 * th * wt
         return buffers * LANES * itemsize + th * wf * LANES * 4
 
-    for th in range(min(prefer, h), 7, -1):
+    for th in range(min(prefer, h), 0, -1):
         if h % th == 0 and vmem(th) <= budget:
             return th
-    raise ValueError(f"no tile height for h={h} (needs a divisor in [8,{prefer}])")
+    raise ValueError(f"no tile height for h={h} fits VMEM")
 
 
 def fused_conv3x3_flat(xf, w_blocks, scale, bias, *, dilation=1, relu=True,
