@@ -45,6 +45,12 @@ LANES = 128
 # DMAs with a non-8-aligned second-to-last dim fault this TPU runtime.
 PADC_TILES = 4  # covers dilation <= 16 at f=4
 PADR = 8        # halo rows each side (covers dilation <= 8)
+# Spare zero tiles appended to the core region ("canvas") so that phase-2
+# activations -- image shifted 2 px right by a split-window conv (see
+# fold_conv3x3_split_weights) -- spill into compute-covered, 8-aligned width
+# instead of forcing odd (wf+1)-tile matmuls/stores.  All kernels compute the
+# full canvas width and re-zero the out-of-image region via the keep mask.
+SPARE_TILES = 8
 
 
 def _fold(c: int) -> int:
@@ -99,8 +105,72 @@ def fold_conv3x3_weights(w: jnp.ndarray, dilation: int = 1,
     return jnp.asarray(wn)
 
 
+def fold_conv3x3_split_weights(w: jnp.ndarray, dilation: int = 1,
+                               phase_in: int = 0,
+                               c_in_pad: int | None = None,
+                               c_out_pad: int | None = None) -> jnp.ndarray:
+    """(3, 3, C_in, C_out) HWIO conv weights -> (6, 128, 128) split-window
+    blocks: 2/3 the MXU work of :func:`fold_conv3x3_weights` for d <= f//2.
+
+    For dilation <= 2 (f=4) the 4+2d-pixel input support of one output tile
+    fits inside TWO adjacent column tiles -- provided the output is written
+    with a 2-pixel *phase shift*.  Phase phi means image pixel x is stored at
+    flat position x + phi; a split conv maps phase 0 -> 2 or 2 -> 0:
+
+      phase_in 0: out tile k holds image px 4k-2+p,  reads tiles {k-1, k}
+      phase_in 2: out tile k holds image px 4k+p,    reads tiles {k, k+1}
+
+    Block (dy, side) maps input tile (k + offs[side]) to output tile k:
+
+        block[dy*2+side][j*C_in + ci, p*C_out + co] = w[dy, dx, ci, co]
+            iff 4*offs[side] + j - p + (2 - 2*phase_in) == dx' * dilation,
+            dx = dx' + 1
+
+    The matmul count per output tile drops from 9 to 6 (one per (dy, side)).
+    The caller must run the phase-aware kernel (mask the 2-pixel spill at the
+    image edges) and alternate phases across a conv stack.
+    """
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 3 and kw == 3
+    cip = c_in_pad or c_in
+    cop = c_out_pad or c_out
+    f = _fold(cip)
+    assert f == _fold(cop) == 4, "split fold is specialized to f=4"
+    assert dilation <= 2, dilation
+    assert phase_in in (0, 2), phase_in
+    offs = split_offsets(phase_in)
+    shift = 2 - 2 * phase_in  # phase_out - phase_in, phase_out = 2 - phase_in
+
+    wn = np.zeros((6, LANES, LANES), np.float32)
+    w_np = np.asarray(w, np.float32)
+    for dy in range(3):
+        for si, t in enumerate(offs):
+            blk = wn[dy * 2 + si]
+            for j in range(f):
+                for p in range(f):
+                    rel = 4 * t + j - p + shift
+                    if rel % dilation != 0:
+                        continue
+                    dx = rel // dilation
+                    if dx < -1 or dx > 1:
+                        continue
+                    blk[j * cip:j * cip + c_in,
+                        p * cop:p * cop + c_out] = w_np[dy, dx + 1]
+    return jnp.asarray(wn)
+
+
+def split_offsets(phase_in: int) -> tuple[int, int]:
+    """Input column-tile offsets of the split-window conv for a given input
+    phase (see :func:`fold_conv3x3_split_weights`)."""
+    return (-1, 0) if phase_in == 0 else (0, 1)
+
+
 def to_flat(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
-    """(B=1, H, W, C) -> flat (PADR+H+PADR, WT, 128) with zero halos."""
+    """(B=1, H, W, C) -> flat (PADR+H+PADR, WT, 128) with zero halos.
+
+    WT = PADC + (W/f + SPARE_TILES) + PADC: the core "canvas" carries
+    SPARE_TILES zero tiles past the image so phase-shifted activations stay
+    8-aligned (see :data:`SPARE_TILES`)."""
     b, h, w, c = x.shape
     assert b == 1, "flat kernel path is the batch-1 latency path"
     f = _fold(c_pad)
@@ -110,24 +180,38 @@ def to_flat(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
     if c < c_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
     xf = x[0].reshape(h, w // f, LANES)
-    xf = jnp.pad(xf, ((PADR, PADR), (PADC_TILES, PADC_TILES), (0, 0)))
+    xf = jnp.pad(xf, ((PADR, PADR),
+                      (PADC_TILES, SPARE_TILES + PADC_TILES), (0, 0)))
     return xf
 
 
-def from_flat(xf: jnp.ndarray, h: int, w: int, c: int, c_pad: int):
-    """flat (rows, WT, 128) -> (1, H, W, C)."""
+def from_flat(xf: jnp.ndarray, h: int, w: int, c: int, c_pad: int,
+              phase: int = 0):
+    """flat (rows, WT, 128) -> (1, H, W, C).
+
+    ``phase`` is the activation's pixel phase (image pixel x stored at flat
+    position x + phase, see :func:`fold_conv3x3_split_weights`)."""
     f = _fold(c_pad)
-    core = xf[PADR:PADR + h, PADC_TILES:PADC_TILES + w // f, :]
-    x = core.reshape(h, w, c_pad)[None]
-    return x[..., :c]
+    tiles = w // f + (1 if phase else 0)
+    core = xf[PADR:PADR + h, PADC_TILES:PADC_TILES + tiles, :]
+    x = core.reshape(h, tiles * f, c_pad)[None]
+    return x[:, :, phase:phase + w, :c]
 
 
-def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
+def _build_kernel(th, wc, wt, dilation, relu, has_res, f, n, offs,
+                  img_tiles, phase_out):
     """Double-buffered pipeline: tile i+1's input DMA overlaps tile i's
-    matmuls, and tile i's output DMA drains while tile i+1 computes."""
-    offs = tile_offsets(dilation, f)
+    matmuls, and tile i's output DMA drains while tile i+1 computes.
+
+    ``offs`` are the column-tile offsets (3 for the 9-block fold, 2 for the
+    split-window fold).  The matmuls cover the full 8-aligned canvas ``wc``
+    (= img_tiles + SPARE_TILES); a keep mask re-zeroes everything outside the
+    image at the output phase (phase 2 = image shifted 2 px right, spilling
+    into tile ``img_tiles``), preserving SAME zero-padding semantics for the
+    next conv."""
     d = dilation
     ysrows = max(th, PADR)  # ys buffer also serves the PADR-row halo writes
+    n_offs = len(offs)
 
     def kernel(x_hbm, w_ref, sb_ref, res_hbm, out_hbm,
                xs2, rs2, ys2, acc_ref, sem_in, sem_res, sem_out):
@@ -167,9 +251,9 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
         for di in range(3):
             dy = di * d  # xs row 0 == image row (row_base - d)
             for ti, t in enumerate(offs):
-                a = xs2[slot, pl.ds(dy, th), pl.ds(PADC_TILES + t, wf), :]
-                a = a.reshape(th * wf, LANES)
-                blk = w_ref[di * 3 + ti]
+                a = xs2[slot, pl.ds(dy, th), pl.ds(PADC_TILES + t, wc), :]
+                a = a.reshape(th * wc, LANES)
+                blk = w_ref[di * n_offs + ti]
                 prod = jax.lax.dot_general(
                     a, blk, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -187,8 +271,10 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
         y = y.astype(ys2.dtype)
         if has_res:
             res_copy(i, slot).wait()
-            y = y + rs2[slot, :, pl.ds(PADC_TILES, wf), :].reshape(
-                th * wf, LANES)
+            y = y + rs2[slot, :, pl.ds(PADC_TILES, wc), :].reshape(
+                th * wc, LANES)
+
+        y = y.reshape(th, wc, LANES)
 
         # ys2[slot] may still be draining from tile i-2 -- wait before reuse
         if n > 2:
@@ -196,12 +282,25 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
             def _():
                 out_copy(i - 2, slot).wait()
 
-        ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES, wf), :] = y.reshape(
-            th, wf, LANES)
-        # keep halo columns zero for the next conv's SAME padding
+        ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES, wc), :] = y
+        # Re-zero everything outside the (phase-shifted) image so the next
+        # conv sees SAME zero padding at the true image edges.  Phase 2 also
+        # fixes the 2-px spill edges: image px {-2,-1} landed in tile 0 pixel
+        # slots {0,1} (lanes < 64) and px {W, W+1} in tile img_tiles slots
+        # {2,3} (lanes >= 64) -- both garbage, zeroed by a lane mask.
+        if phase_out == 2:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (th, 1, LANES), 2)
+            ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES, 1), :] = (
+                y[:, 0:1, :] * (lane >= 64).astype(y.dtype))
+            ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES + img_tiles, 1), :] = (
+                y[:, img_tiles:img_tiles + 1, :]
+                * (lane < 64).astype(y.dtype))
+        img_keep = img_tiles + (1 if phase_out == 2 else 0)
         zcol = jnp.zeros((th, PADC_TILES, LANES), ys2.dtype)
         ys2[slot, pl.ds(0, th), pl.ds(0, PADC_TILES), :] = zcol
-        ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES + wf, PADC_TILES), :] = zcol
+        ys2[slot, pl.ds(0, th),
+            pl.ds(PADC_TILES + img_keep, wt - PADC_TILES - img_keep), :] = (
+            jnp.zeros((th, wt - PADC_TILES - img_keep, LANES), ys2.dtype))
         out_copy(i, slot).start()
 
         # last tile: drain all outstanding output DMAs, then write the
@@ -226,17 +325,29 @@ def _build_kernel(th, wf, wt, dilation, relu, has_res, f, n):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "relu", "th", "f"))
-def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "relu", "th", "f", "phase_in"))
+def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f,
+               phase_in=0):
     rows, wt, _ = xf.shape
     h = rows - 2 * PADR
-    wf = wt - 2 * PADC_TILES
+    wc = wt - 2 * PADC_TILES            # canvas tiles (8-aligned)
+    img_tiles = wc - SPARE_TILES        # image tiles at phase 0
     n_tiles = pl.cdiv(h, th)
     assert h % th == 0, (h, th)
     has_res = residual is not None
     res = residual if has_res else jnp.zeros((1, 1, LANES), xf.dtype)
 
-    kernel = _build_kernel(th, wf, wt, dilation, relu, has_res, f, n_tiles)
+    split = w_blocks.shape[0] == 6
+    if split:
+        offs = split_offsets(phase_in)
+        phase_out = 2 - phase_in
+    else:
+        offs = tile_offsets(dilation, f)
+        phase_out = phase_in
+
+    kernel = _build_kernel(th, wc, wt, dilation, relu, has_res, f, n_tiles,
+                           offs, img_tiles, phase_out)
     # interpret mode off-TPU so the CPU test mesh can validate numerics
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
@@ -256,13 +367,13 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
             pltpu.VMEM((2, th, wt, LANES) if has_res else (1, 1, 1, LANES),
                        xf.dtype),
             pltpu.VMEM((2, max(th, PADR), wt, LANES), xf.dtype),
-            pltpu.VMEM((th * wf, LANES), jnp.float32),
+            pltpu.VMEM((th * wc, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 9 * h * wf * LANES * LANES,
+            flops=2 * 3 * len(offs) * h * wc * LANES * LANES,
             bytes_accessed=2 * rows * wt * LANES * 2,
             transcendentals=0),
     )(xf, w_blocks.astype(xf.dtype), scale_bias, res)
@@ -270,7 +381,7 @@ def _conv_call(xf, w_blocks, scale_bias, residual, *, dilation, relu, th, f):
 
 
 def _pick_tile_height(h: int, dtype, dilation: int, has_res: bool,
-                      wt: int, wf: int, prefer: int) -> int:
+                      wt: int, wc: int, prefer: int) -> int:
     """Largest divisor of h that is <= prefer and fits the double buffers +
     accumulator in the VMEM budget."""
     itemsize = jnp.dtype(dtype).itemsize
@@ -283,7 +394,7 @@ def _pick_tile_height(h: int, dtype, dilation: int, has_res: bool,
                    + 2 * max(th, PADR) * wt)
         if has_res:
             buffers += 2 * th * wt
-        return buffers * LANES * itemsize + th * wf * LANES * 4
+        return buffers * LANES * itemsize + th * wc * LANES * 4
 
     for th in range(min(prefer, h), 0, -1):
         if h % th == 0 and vmem(th) <= budget:
@@ -292,25 +403,31 @@ def _pick_tile_height(h: int, dtype, dilation: int, has_res: bool,
 
 
 def fused_conv3x3_flat(xf, w_blocks, scale, bias, *, dilation=1, relu=True,
-                       residual=None, th=24):
+                       residual=None, th=24, phase_in=0):
     """Run the fused conv on a flat-layout activation.
 
     Args:
-      xf: (rows, WT, 128) flat activations (see :func:`to_flat`).
-      w_blocks: (9, 128, 128) from :func:`fold_conv3x3_weights`.
+      xf: (rows, WT, 128) flat activations (see :func:`to_flat`), at pixel
+        phase ``phase_in``.
+      w_blocks: (9, 128, 128) from :func:`fold_conv3x3_weights` (output keeps
+        ``phase_in``) or (6, 128, 128) from
+        :func:`fold_conv3x3_split_weights` built for the same ``phase_in``
+        (output phase flips to ``2 - phase_in``).
       scale, bias: (128,) f32 folded BN/bias epilogue (tiled per fold).
-      residual: optional flat activation added *after* the ReLU.
+      residual: optional flat activation added *after* the ReLU; must be at
+        the output's phase.
     Returns:
       flat (rows, WT, 128) output with zeroed halos.
     """
     rows, wt, _ = xf.shape
     h = rows - 2 * PADR
-    wf = wt - 2 * PADC_TILES
+    wc = wt - 2 * PADC_TILES
     t = _pick_tile_height(h, xf.dtype, dilation, residual is not None,
-                          wt, wf, prefer=th)
+                          wt, wc, prefer=th)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)
     return _conv_call(xf, w_blocks, sb, residual,
-                      dilation=dilation, relu=relu, th=t, f=4)
+                      dilation=dilation, relu=relu, th=t, f=4,
+                      phase_in=phase_in)
 
 
 def fold_bn_scale_bias(gamma, beta, mean, var, eps, c_out, c_pad):

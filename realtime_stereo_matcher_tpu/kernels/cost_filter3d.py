@@ -38,16 +38,19 @@ PADR = k3.PADR
 PADC = k3.PADC_TILES
 
 
-def fold_conv3d_weights(w: jnp.ndarray, c_in_pad: int = 32,
+def fold_conv3d_weights(w: jnp.ndarray, phase_in: int = 0,
+                        c_in_pad: int = 32,
                         c_out_pad: int = 32) -> jnp.ndarray:
-    """(3, 3, 3, C_in, C_out) DHWIO conv weights -> (27, 128, 128) blocks.
+    """(3, 3, 3, C_in, C_out) DHWIO conv weights -> (18, 128, 128) blocks.
 
-    Block k = dz*9 + (dy*3 + t) reuses the 2D fold of slab dz."""
+    Block k = dz*6 + (dy*2 + side) reuses the split-window 2D fold of slab
+    dz (see kernels/conv3x3.py:fold_conv3x3_split_weights) -- 18 matmuls per
+    output slab instead of 27, flipping the pixel phase per layer."""
     kd = w.shape[0]
     assert kd == 3
     per_slab = [
-        k3.fold_conv3x3_weights(w[dz], dilation=1, c_in_pad=c_in_pad,
-                                c_out_pad=c_out_pad)
+        k3.fold_conv3x3_split_weights(w[dz], dilation=1, phase_in=phase_in,
+                                      c_in_pad=c_in_pad, c_out_pad=c_out_pad)
         for dz in range(3)
     ]
     return jnp.concatenate(per_slab, axis=0)
@@ -55,14 +58,15 @@ def fold_conv3d_weights(w: jnp.ndarray, c_in_pad: int = 32,
 
 @dataclasses.dataclass(frozen=True)
 class Conv3dSpec:
-    blocks: jnp.ndarray   # (27, 128, 128)
+    blocks: jnp.ndarray   # (18, 128, 128)
     scale: jnp.ndarray    # (128,) f32
     bias: jnp.ndarray     # (128,) f32
     relu: bool
+    phase_in: int = 0
 
 
 def vol_to_flat(vol: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
-    """(B=1, D, H, W, C) -> (D+2, PADR+H+PADR, PADC+W/f+PADC, 128)."""
+    """(B=1, D, H, W, C) -> (D+2, PADR+H+PADR, PADC+W/f+SPARE+PADC, 128)."""
     b, dvol, h, w, c = vol.shape
     assert b == 1
     f = LANES // c_pad
@@ -70,20 +74,25 @@ def vol_to_flat(vol: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
     if c < c_pad:
         vol = jnp.pad(vol, ((0, 0),) * 4 + ((0, c_pad - c),))
     xf = vol[0].reshape(dvol, h, w // f, LANES)
-    return jnp.pad(xf, ((1, 1), (PADR, PADR), (PADC, PADC), (0, 0)))
+    return jnp.pad(xf, ((1, 1), (PADR, PADR),
+                        (PADC, k3.SPARE_TILES + PADC), (0, 0)))
 
 
 def flat_to_vol(xf: jnp.ndarray, h: int, w: int, c: int,
-                c_pad: int = 32) -> jnp.ndarray:
+                c_pad: int = 32, phase: int = 0) -> jnp.ndarray:
     """Inverse of :func:`vol_to_flat` -> (1, D, H, W, C)."""
     f = LANES // c_pad
     dvol = xf.shape[0] - 2
-    core = xf[1:1 + dvol, PADR:PADR + h, PADC:PADC + w // f, :]
-    return core.reshape(dvol, h, w, c_pad)[None, ..., :c]
+    tiles = w // f + (1 if phase else 0)
+    core = xf[1:1 + dvol, PADR:PADR + h, PADC:PADC + tiles, :]
+    x = core.reshape(dvol, h, tiles * f, c_pad)[None]
+    return x[:, :, :, phase:phase + w, :c]
 
 
-def _build_kernel(h, wf, wt, relu, n_slabs):
-    offs = (-1, 0, 1)
+def _build_kernel(h, wc, wt, relu, n_slabs, phase_in):
+    offs = k3.split_offsets(phase_in)
+    phase_out = 2 - phase_in
+    img_tiles = wc - k3.SPARE_TILES
 
     def kernel(x_hbm, w_ref, sb_ref, out_hbm, xs, ys, acc_ref,
                sem_in, sem_out):
@@ -98,9 +107,9 @@ def _build_kernel(h, wf, wt, relu, n_slabs):
         for dz in range(3):
             for dy in range(3):
                 for ti, t in enumerate(offs):
-                    a = xs[dz, pl.ds(PADR + dy - 1, h), pl.ds(PADC + t, wf), :]
-                    a = a.reshape(h * wf, LANES)
-                    blk = w_ref[dz * 9 + dy * 3 + ti]
+                    a = xs[dz, pl.ds(PADR + dy - 1, h), pl.ds(PADC + t, wc), :]
+                    a = a.reshape(h * wc, LANES)
+                    blk = w_ref[dz * 6 + dy * 2 + ti]
                     prod = jax.lax.dot_general(
                         a, blk, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -113,15 +122,25 @@ def _build_kernel(h, wf, wt, relu, n_slabs):
         y = acc_ref[:] * sb_ref[0][None, :] + sb_ref[1][None, :]
         if relu:
             y = jnp.maximum(y, 0.0)
-        ys[PADR:PADR + h, pl.ds(PADC, wf), :] = y.reshape(h, wf, LANES).astype(
-            ys.dtype)
+        y = y.reshape(h, wc, LANES).astype(ys.dtype)
+        ys[PADR:PADR + h, pl.ds(PADC, wc), :] = y
+        if phase_out == 2:
+            # fix the 2-px spill edges (see kernels/conv3x3.py epilogue)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (h, 1, LANES), 2)
+            ys[PADR:PADR + h, pl.ds(PADC, 1), :] = (
+                y[:, 0:1, :] * (lane >= 64).astype(y.dtype))
+            ys[PADR:PADR + h, pl.ds(PADC + img_tiles, 1), :] = (
+                y[:, img_tiles:img_tiles + 1, :]
+                * (lane < 64).astype(y.dtype))
+        img_keep = img_tiles + (1 if phase_out == 2 else 0)
         # zero halos (rows, cols) so the next layer's SAME padding holds
         zrow = jnp.zeros((PADR, wt, LANES), ys.dtype)
         ys[pl.ds(0, PADR)] = zrow
         ys[pl.ds(PADR + h, PADR)] = zrow
-        zcol = jnp.zeros((h, PADC, LANES), ys.dtype)
-        ys[PADR:PADR + h, pl.ds(0, PADC), :] = zcol
-        ys[PADR:PADR + h, pl.ds(PADC + wf, PADC), :] = zcol
+        ys[PADR:PADR + h, pl.ds(0, PADC), :] = jnp.zeros(
+            (h, PADC, LANES), ys.dtype)
+        ys[PADR:PADR + h, pl.ds(PADC + img_keep, wt - PADC - img_keep), :] = (
+            jnp.zeros((h, wt - PADC - img_keep, LANES), ys.dtype))
 
         cp_out = pltpu.make_async_copy(
             ys, out_hbm.at[d + 1], sem_out)
@@ -146,14 +165,14 @@ def _build_kernel(h, wf, wt, relu, n_slabs):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("relu",))
-def _conv3d_call(xf, w_blocks, scale_bias, *, relu):
+@functools.partial(jax.jit, static_argnames=("relu", "phase_in"))
+def _conv3d_call(xf, w_blocks, scale_bias, *, relu, phase_in=0):
     slabs, rows, wt, _ = xf.shape
     n_slabs = slabs - 2
     h = rows - 2 * PADR
-    wf = wt - 2 * PADC
+    wc = wt - 2 * PADC
 
-    kernel = _build_kernel(h, wf, wt, relu, n_slabs)
+    kernel = _build_kernel(h, wc, wt, relu, n_slabs, phase_in)
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
@@ -169,12 +188,12 @@ def _conv3d_call(xf, w_blocks, scale_bias, *, relu):
         scratch_shapes=[
             pltpu.VMEM((3, rows, wt, LANES), xf.dtype),
             pltpu.VMEM((rows, wt, LANES), xf.dtype),
-            pltpu.VMEM((h * wf, LANES), jnp.float32),
+            pltpu.VMEM((h * wc, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 27 * n_slabs * h * wf * LANES * LANES,
+            flops=2 * 18 * n_slabs * h * wc * LANES * LANES,
             bytes_accessed=4 * slabs * rows * wt * LANES * 2,
             transcendentals=0),
     )(xf, w_blocks.astype(xf.dtype), scale_bias)
@@ -182,7 +201,8 @@ def _conv3d_call(xf, w_blocks, scale_bias, *, relu):
 
 def fused_conv3d_flat(xf, spec: Conv3dSpec):
     sb = jnp.stack([spec.scale, spec.bias]).astype(jnp.float32)
-    return _conv3d_call(xf, spec.blocks, sb, relu=spec.relu)
+    return _conv3d_call(xf, spec.blocks, sb, relu=spec.relu,
+                        phase_in=spec.phase_in)
 
 
 def build_cost_filter_plan(params, batch_stats, c_pad: int = 32
@@ -190,26 +210,28 @@ def build_cost_filter_plan(params, batch_stats, c_pad: int = 32
     """Fold CostFilter3D Flax params (models/stereo_net.py:52-67) into specs:
     four ConvBN(3,3,3)+ReLU layers then a bias-only Conv3d collapsing to 1."""
     specs: list[Conv3dSpec] = []
+    phase = 0
     for i in range(4):
         conv_p = params[f"ConvBN_{i}"]["Conv_0"]
         bn_p = params[f"ConvBN_{i}"]["BatchNorm_0"]
         bn_s = batch_stats[f"ConvBN_{i}"]["BatchNorm_0"]
         w = np.asarray(conv_p["kernel"], np.float32)
-        blocks = fold_conv3d_weights(w, c_pad, c_pad)
+        blocks = fold_conv3d_weights(w, phase, c_pad, c_pad)
         scale, bias = k3.fold_bn_scale_bias(
             jnp.asarray(bn_p["scale"], jnp.float32),
             jnp.asarray(bn_p["bias"], jnp.float32),
             jnp.asarray(bn_s["mean"], jnp.float32),
             jnp.asarray(bn_s["var"], jnp.float32),
             1e-5, w.shape[-1], c_pad)
-        specs.append(Conv3dSpec(blocks, scale, bias, True))
+        specs.append(Conv3dSpec(blocks, scale, bias, True, phase))
+        phase = 2 - phase
 
     head = params["Conv_0"]
     w = np.asarray(head["kernel"], np.float32)
-    blocks = fold_conv3d_weights(w, c_pad, c_pad)
+    blocks = fold_conv3d_weights(w, phase, c_pad, c_pad)
     scale, bias = k3.plain_scale_bias(
         jnp.asarray(head["bias"], jnp.float32), w.shape[-1], c_pad)
-    specs.append(Conv3dSpec(blocks, scale, bias, False))
+    specs.append(Conv3dSpec(blocks, scale, bias, False, phase))
     return specs
 
 
@@ -221,5 +243,7 @@ def fast_cost_filter(vol: jnp.ndarray, specs: Sequence[Conv3dSpec],
     xf = vol_to_flat(vol.astype(dtype))
     for spec in specs:
         xf = fused_conv3d_flat(xf, spec)
-    out = flat_to_vol(xf, h, w, 1)  # (1, D, h, w, 1), channel 0 = cost
+    final_phase = 2 - specs[-1].phase_in
+    # (1, D, h, w, 1), channel 0 = cost
+    out = flat_to_vol(xf, h, w, 1, phase=final_phase)
     return out[..., 0].astype(jnp.float32)

@@ -35,12 +35,13 @@ LANES = k3.LANES
 class ConvSpec:
     """One fused conv in the stack (weights already lane-folded)."""
 
-    blocks: jnp.ndarray       # (9, 128, 128) from fold_conv3x3_weights
+    blocks: jnp.ndarray       # (9|6, 128, 128) from the 9-block / split fold
     scale: jnp.ndarray        # (128,) f32 epilogue scale (BN folded)
     bias: jnp.ndarray         # (128,) f32 epilogue bias
     dilation: int
     relu: bool
     res_from: int | None      # history index whose activation is added post-ReLU
+    phase_in: int = 0         # pixel phase of the input activation (0 or 2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,14 +54,23 @@ class RefinePlan:
     entry_w: jnp.ndarray | None = None      # (3, 3, C_in, 32) HWIO
     entry_scale: jnp.ndarray | None = None  # (32,) eval-BN folded
     entry_bias: jnp.ndarray | None = None   # (32,)
+    final_phase: int = 0       # pixel phase of the head conv's output
 
 
-def _fold_convbn(conv_p, bn_p, bn_s, dilation, c_pad=32):
-    """Flax ConvBN params -> (blocks, scale, bias) with eval-mode BN folded."""
+def _fold_convbn(conv_p, bn_p, bn_s, dilation, c_pad=32, phase_in=0):
+    """Flax ConvBN params -> (blocks, scale, bias) with eval-mode BN folded.
+
+    Dilation <= 2 uses the 6-matmul split-window fold (flips the pixel phase,
+    see kernels/conv3x3.py); larger dilations the 9-block fold."""
     w = np.asarray(conv_p["kernel"], np.float32)  # HWIO
     c_out = w.shape[-1]
-    blocks = k3.fold_conv3x3_weights(w, dilation=dilation,
-                                     c_in_pad=c_pad, c_out_pad=c_pad)
+    if dilation <= 2:
+        blocks = k3.fold_conv3x3_split_weights(
+            w, dilation=dilation, phase_in=phase_in,
+            c_in_pad=c_pad, c_out_pad=c_pad)
+    else:
+        blocks = k3.fold_conv3x3_weights(w, dilation=dilation,
+                                         c_in_pad=c_pad, c_out_pad=c_pad)
     scale, bias = k3.fold_bn_scale_bias(
         jnp.asarray(bn_p["scale"], jnp.float32),
         jnp.asarray(bn_p["bias"], jnp.float32),
@@ -95,6 +105,12 @@ def build_refine_plan(params, batch_stats,
     """
     specs: list[ConvSpec] = []
     entry_w = entry_scale = entry_bias = None
+    phase = 0                    # pixel phase entering the next conv
+    hist_phase = [0]             # phase of each history entry
+
+    def push(spec, phase_out):
+        specs.append(spec)
+        hist_phase.append(phase_out)
 
     if entry_channels > c_pad:
         entry_w = jnp.asarray(params["ConvBN_0"]["Conv_0"]["kernel"],
@@ -105,8 +121,9 @@ def build_refine_plan(params, batch_stats,
     else:
         blocks, scale, bias = _fold_convbn(
             params["ConvBN_0"]["Conv_0"], params["ConvBN_0"]["BatchNorm_0"],
-            batch_stats["ConvBN_0"]["BatchNorm_0"], 1, c_pad)
-        specs.append(ConvSpec(blocks, scale, bias, 1, True, None))
+            batch_stats["ConvBN_0"]["BatchNorm_0"], 1, c_pad, phase)
+        push(ConvSpec(blocks, scale, bias, 1, True, None, phase), 2 - phase)
+        phase = 2 - phase
 
     for bi, d in enumerate(dilations):
         rb_p = params[f"ResBlock_{bi}"]
@@ -116,19 +133,27 @@ def build_refine_plan(params, batch_stats,
             blocks, scale, bias = _fold_convbn(
                 rb_p[f"ConvBN_{ci}"]["Conv_0"],
                 rb_p[f"ConvBN_{ci}"]["BatchNorm_0"],
-                rb_s[f"ConvBN_{ci}"]["BatchNorm_0"], d, c_pad)
+                rb_s[f"ConvBN_{ci}"]["BatchNorm_0"], d, c_pad, phase)
             res = block_in if ci == 1 else None
-            specs.append(ConvSpec(blocks, scale, bias, d, True, res))
+            phase_out = 2 - phase if d <= 2 else phase
+            if res is not None:
+                # the residual is added at the conv's output phase; a
+                # ResBlock always nets zero phase flips, so this holds
+                assert hist_phase[res] == phase_out, (res, d)
+            push(ConvSpec(blocks, scale, bias, d, True, res, phase),
+                 phase_out)
+            phase = phase_out
 
     head = params["Conv_0"]
     w = np.asarray(head["kernel"], np.float32)
-    blocks = k3.fold_conv3x3_weights(w, dilation=1, c_in_pad=c_pad,
-                                     c_out_pad=c_pad)
+    blocks = k3.fold_conv3x3_split_weights(w, dilation=1, phase_in=phase,
+                                           c_in_pad=c_pad, c_out_pad=c_pad)
     scale, bias = k3.plain_scale_bias(
         jnp.asarray(head.get("bias"), jnp.float32)
         if head.get("bias") is not None else None, w.shape[-1], c_pad)
-    specs.append(ConvSpec(blocks, scale, bias, 1, False, None))
-    return RefinePlan(tuple(specs), entry_w, entry_scale, entry_bias)
+    push(ConvSpec(blocks, scale, bias, 1, False, None, phase), 2 - phase)
+    return RefinePlan(tuple(specs), entry_w, entry_scale, entry_bias,
+                      final_phase=2 - phase)
 
 
 def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
@@ -139,7 +164,8 @@ def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
         res = history[spec.res_from] if spec.res_from is not None else None
         y = k3.fused_conv3x3_flat(
             history[-1], spec.blocks, spec.scale, spec.bias,
-            dilation=spec.dilation, relu=spec.relu, residual=res)
+            dilation=spec.dilation, relu=spec.relu, residual=res,
+            phase_in=spec.phase_in)
         history.append(y)
     return history[-1]
 
@@ -181,5 +207,6 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
 
     xf = k3.to_flat(x, 32)
     yf = run_refine_stack(xf, plan.specs)
-    delta = k3.from_flat(yf, h2, w2, 1, 32).astype(jnp.float32)
+    delta = k3.from_flat(yf, h2, w2, 1, 32,
+                         phase=plan.final_phase).astype(jnp.float32)
     return jnp.maximum(disp + delta, 0.0)

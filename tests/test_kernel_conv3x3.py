@@ -87,3 +87,42 @@ def test_fused_conv_channel_padding(rng):
     outf = fused_conv3x3_flat(midf, blk2, s2, bi2, relu=False, th=16)
     got = np.asarray(from_flat(outf, h, w, 1, 32))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_split_fold_phase_stack_matches_xla(rng):
+    """Split-window (6-matmul) convs alternate pixel phase 0 <-> 2 across a
+    stack mixed with phase-preserving 9-block convs (d=4, 8)."""
+    h, w, c = 48, 64, 32
+    x = jnp.asarray(rng.standard_normal((1, h, w, c), dtype=np.float32))
+    dils = (1, 8, 2, 4, 1)
+    wts = [jnp.asarray(rng.standard_normal((3, 3, c, c),
+                                           dtype=np.float32) * 0.1)
+           for _ in dils]
+    scale, bias = plain_scale_bias(None, c, 32)
+
+    want = x
+    for i, d in enumerate(dils):
+        want = _xla_conv(want, wts[i], d)
+        if i < len(dils) - 1:
+            want = jax.nn.relu(want)
+
+    from realtime_stereo_matcher_tpu.kernels.conv3x3 import (
+        fold_conv3x3_split_weights,
+    )
+
+    yf = to_flat(x, 32)
+    phase = 0
+    for i, d in enumerate(dils):
+        if d <= 2:
+            blocks = fold_conv3x3_split_weights(wts[i], d, phase)
+            next_phase = 2 - phase
+        else:
+            blocks = fold_conv3x3_weights(wts[i], d)
+            next_phase = phase
+        yf = fused_conv3x3_flat(yf, blocks, scale, bias, dilation=d,
+                                relu=(i < len(dils) - 1), th=16,
+                                phase_in=phase)
+        phase = next_phase
+    got = from_flat(yf, h, w, c, 32, phase=phase)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

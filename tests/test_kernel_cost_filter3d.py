@@ -29,9 +29,10 @@ def test_single_conv3d_matches_xla(rng):
 
     xf = vol_to_flat(vol)
     scale, bias = k3.plain_scale_bias(None, c, 32)
-    spec = Conv3dSpec(fold_conv3d_weights(wts), scale, bias, relu=False)
+    spec = Conv3dSpec(fold_conv3d_weights(wts), scale, bias, relu=False,
+                      phase_in=0)
     yf = fused_conv3d_flat(xf, spec)
-    got = flat_to_vol(yf, h, w, c)
+    got = flat_to_vol(yf, h, w, c, phase=2)  # one split layer flips the phase
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
 
