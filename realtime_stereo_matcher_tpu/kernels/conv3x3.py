@@ -430,6 +430,213 @@ def fused_conv3x3_flat(xf, w_blocks, scale, bias, *, dilation=1, relu=True,
                       phase_in=phase_in)
 
 
+def fold_conv3x3_s2_weights(w: jnp.ndarray,
+                            c_in_pad: int | None = None,
+                            c_out_pad: int | None = None) -> jnp.ndarray:
+    """(3, 3, C_in, C_out) HWIO weights -> (6, 256, 128) stride-2 blocks.
+
+    A stride-2 3x3 conv (torch padding=1 geometry: ``out[Y, X] =
+    sum_{ky,kx} w[ky,kx] . in[2Y+ky-1, 2X+kx-1]``) halves H and W, so one
+    128-lane output tile (4 out px x 32 ch at out-tile k) reads the 9 input
+    pixels 8k-1..8k+7 -- spanning input tiles 2k-1..2k+1.  Viewing the input
+    row as *tile pairs* (256 lanes = 8 px x 32 ch, pair p = tiles 2p, 2p+1),
+    the support is exactly pair k (px 8k..8k+7, "main") plus lane j=7 of pair
+    k-1 (px 8k-1, "edge"), giving 2 K=256 matmuls per row tap:
+
+        block[di*2 + side][j*C_in + ci, p*C_out + co] = w[di, dx+1, ci, co]
+            main (side=1): dx = j - 2p,      iff dx in {-1,0,1}
+            edge (side=0): dx = j - 8 - 2p   (only j=7, p=0, dx=-1)
+
+    Row taps come for free from an even/odd row split done by the caller
+    (out row Y reads input rows 2Y-1, 2Y, 2Y+1: row-pair r = rows
+    (2r-1, 2r) => taps are pair slices [Y,0], [Y,1], [Y+1,0]).  Input and
+    output are both at pixel phase 0.
+    """
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 3 and kw == 3
+    cip = c_in_pad or c_in
+    cop = c_out_pad or c_out
+    assert _fold(cip) == _fold(cop) == 4, "s2 fold is specialized to f=4"
+
+    wn = np.zeros((6, 2 * LANES, LANES), np.float32)
+    w_np = np.asarray(w, np.float32)
+    for di in range(3):
+        for side in range(2):  # 0 = edge pair (k-1), 1 = main pair (k)
+            blk = wn[di * 2 + side]
+            for j in range(8):
+                for p in range(4):
+                    dx = j - 2 * p - (8 if side == 0 else 0)
+                    if dx < -1 or dx > 1:
+                        continue
+                    blk[j * cip:j * cip + c_in,
+                        p * cop:p * cop + c_out] = w_np[di, dx + 1]
+    return jnp.asarray(wn)
+
+
+def _build_s2_kernel(th, kc, wt_out, relu, n):
+    """Stride-2 conv pipeline: grid over *output* row tiles of ``th`` rows.
+
+    Input arrives as row-pairs ``(H/2+1, 2, WTP, 256)`` (see
+    :func:`fused_conv3x3_s2_flat`); each tile DMAs th+1 row-pairs and runs
+    6 K=256 matmuls (3 row taps x {edge, main} pair).  Output is a normal
+    phase-0 flat activation ``(PADR + H/2 + PADR, WT_out, 128)``.
+    """
+
+    def kernel(x_hbm, w_ref, sb_ref, out_hbm, xs2, ys2, acc_ref,
+               sem_in, sem_out):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+
+        def in_copy(j, s):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(j * th, th + 1)], xs2.at[s], sem_in.at[s])
+
+        def out_copy(j, s):
+            return pltpu.make_async_copy(
+                ys2.at[s, pl.ds(0, th)], out_hbm.at[pl.ds(PADR + j * th, th)],
+                sem_out.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            in_copy(i + 1, 1 - slot).start()
+
+        in_copy(i, slot).wait()
+
+        # row-pair r of the buffer = input image rows (2r-1, 2r) relative to
+        # this tile's first output row; out row y reads taps
+        # [y, 0] (2y-1), [y, 1] (2y), [y+1, 0] (2y+1)
+        taps = ((0, 0), (0, 1), (1, 0))
+        first = True
+        for di, (r0, comp) in enumerate(taps):
+            for side in range(2):  # 0 = edge (pair offset 1), 1 = main (2)
+                a = xs2[slot, pl.ds(r0, th), comp,
+                        pl.ds(1 + side, kc), :]
+                a = a.reshape(th * kc, 2 * LANES)
+                blk = w_ref[di * 2 + side]
+                prod = jax.lax.dot_general(
+                    a, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if first:
+                    acc_ref[:] = prod
+                    first = False
+                else:
+                    acc_ref[:] += prod
+
+        y = acc_ref[:] * sb_ref[0][None, :] + sb_ref[1][None, :]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        y = y.astype(ys2.dtype).reshape(th, kc, LANES)
+
+        if n > 2:
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+        ys2[slot, pl.ds(0, th), pl.ds(PADC_TILES, kc), :] = y
+        ys2[slot, pl.ds(0, th), pl.ds(0, PADC_TILES), :] = jnp.zeros(
+            (th, PADC_TILES, LANES), ys2.dtype)
+        ys2[slot, pl.ds(0, th),
+            pl.ds(PADC_TILES + kc, wt_out - PADC_TILES - kc), :] = jnp.zeros(
+            (th, wt_out - PADC_TILES - kc, LANES), ys2.dtype)
+        out_copy(i, slot).start()
+
+        @pl.when(i == n - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n > 1:
+                out_copy(i - 1, 1 - slot).wait()
+            ys2[slot] = jnp.zeros_like(ys2[slot])
+            top = pltpu.make_async_copy(
+                ys2.at[slot, pl.ds(0, PADR)], out_hbm.at[pl.ds(0, PADR)],
+                sem_out.at[slot])
+            top.start()
+            top.wait()
+            bot = pltpu.make_async_copy(
+                ys2.at[slot, pl.ds(0, PADR)],
+                out_hbm.at[pl.ds(PADR + n * th, PADR)], sem_out.at[slot])
+            bot.start()
+            bot.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "th"))
+def _conv_s2_call(xf, w_blocks, scale_bias, *, relu, th):
+    rows, wt, _ = xf.shape
+    h = rows - 2 * PADR
+    assert h % 2 == 0, h
+    h2 = h // 2
+    wtp = wt // 2
+    kc = (wt - 2 * PADC_TILES - SPARE_TILES) // 2  # out img tiles = in/2
+    wc_out = kc + SPARE_TILES
+    wt_out = wc_out + 2 * PADC_TILES
+    n_tiles = h2 // th
+    assert h2 % th == 0, (h2, th)
+
+    # row-pair view: pair r = abs rows (PADR-1+2r, PADR+2r); H/2+1 pairs
+    # cover every tap of every output row (leading-dim reshape: no copy)
+    xq = jax.lax.slice_in_dim(xf, PADR - 1, PADR + h + 1, axis=0)
+    xq = xq.reshape(h2 + 1, 2, wtp, 2 * LANES)
+
+    kernel = _build_s2_kernel(th, kc, wt_out, relu, n_tiles)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((2 * PADR + h2, wt_out, LANES),
+                                       xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 1, 2, wtp, 2 * LANES), xf.dtype),
+            pltpu.VMEM((2, max(th, PADR), wt_out, LANES), xf.dtype),
+            pltpu.VMEM((th * kc, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 6 * h2 * kc * 2 * LANES * LANES,
+            bytes_accessed=(rows * wt + (2 * PADR + h2) * wt_out) * LANES * 2,
+            transcendentals=0),
+    )(xq, w_blocks.astype(xf.dtype), scale_bias)
+    return out
+
+
+def fused_conv3x3_s2_flat(xf, w_blocks, scale, bias, *, relu=True, th=16):
+    """Stride-2 fused conv on a phase-0 flat activation: (PADR+H+PADR, WT,
+    128) -> (PADR+H/2+PADR, WT_out, 128), phase 0, zeroed halos.
+
+    ``w_blocks`` from :func:`fold_conv3x3_s2_weights`.  W halves (out image
+    tiles = in image tiles / 2, which must be 8-aligned => W % 64 == 0).
+    """
+    rows, wt, _ = xf.shape
+    h2 = (rows - 2 * PADR) // 2
+    wtp = wt // 2
+    kc = (wt - 2 * PADC_TILES - SPARE_TILES) // 2
+    assert kc % 8 == 0, kc
+    itemsize = jnp.dtype(xf.dtype).itemsize
+    budget = 12 * 1024 * 1024
+
+    def vmem(t):
+        return ((2 * (t + 1) * 2 * wtp * 2 + 2 * max(t, PADR) *
+                 (kc + SPARE_TILES + 2 * PADC_TILES)) * LANES * itemsize
+                + t * kc * LANES * 4)
+
+    t = next(t for t in range(min(th, h2), 0, -1)
+             if h2 % t == 0 and vmem(t) <= budget)
+    sb = jnp.stack([scale, bias]).astype(jnp.float32)
+    return _conv_s2_call(xf, w_blocks, sb, relu=relu, th=t)
+
+
 def fold_bn_scale_bias(gamma, beta, mean, var, eps, c_out, c_pad):
     """BatchNorm (eval) -> per-lane scale/bias tiled over the fold factor."""
     scale = gamma / jnp.sqrt(var + eps)

@@ -28,6 +28,10 @@ from realtime_stereo_matcher_tpu.kernels.cost_filter3d import (
     build_cost_filter_plan,
     fast_cost_filter,
 )
+from realtime_stereo_matcher_tpu.kernels.encoder import (
+    build_encoder_plan,
+    fast_encoder,
+)
 from realtime_stereo_matcher_tpu.kernels.refine_stack import (
     build_refine_plan,
     fast_refine,
@@ -93,6 +97,7 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
         for i in range(down)
     ]
 
+    enc_plan = None
     if variant == "v3":
         extractor = UNetFeatureExtractor(
             hidden_dims=(model.hidden_dim,) * (down + 1), dtype=dtype)
@@ -103,6 +108,11 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
         extractor = FeatureEncoder(model.hidden_dim, down, dtype=dtype)
         enc_vars = {"params": params["FeatureEncoder_0"],
                     "batch_stats": batch_stats["FeatureEncoder_0"]}
+        if model.hidden_dim == 32:
+            # v1/v2 encoder runs on the fused stride-2/split-window kernels
+            enc_plan = build_encoder_plan(params["FeatureEncoder_0"],
+                                          batch_stats["FeatureEncoder_0"],
+                                          down_factor=down)
     cf_plan = build_cost_filter_plan(params["CostFilter3D_0"],
                                      batch_stats["CostFilter3D_0"])
 
@@ -115,15 +125,19 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
         left = jnp.pad(left, pads)
         right = jnp.pad(right, pads)
 
-        # one batch-2 extractor pass instead of two batch-1 passes
-        feats = extractor.apply(
-            enc_vars, jnp.concatenate([left, right], axis=0), False)
-        if variant == "v3":
-            l_py = [f[:1] for f in feats]
-            r_py = [f[1:] for f in feats]
-            lf, rf = l_py[0], r_py[0]
+        if enc_plan is not None:
+            lf = fast_encoder(left, enc_plan, dtype=dtype)
+            rf = fast_encoder(right, enc_plan, dtype=dtype)
         else:
-            lf, rf = feats[:1], feats[1:]
+            # one batch-2 extractor pass instead of two batch-1 passes
+            feats = extractor.apply(
+                enc_vars, jnp.concatenate([left, right], axis=0), False)
+            if variant == "v3":
+                l_py = [f[:1] for f in feats]
+                r_py = [f[1:] for f in feats]
+                lf, rf = l_py[0], r_py[0]
+            else:
+                lf, rf = feats[:1], feats[1:]
 
         x = _coarse_disparity(
             lf, rf, vol_disp,
