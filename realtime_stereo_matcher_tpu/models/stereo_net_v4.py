@@ -6,25 +6,28 @@ reference's single most TPU-hostile construct is its cost-volume builder
 variable-width slices of the left/right features and pushing them through a
 depth-strided Conv3d stack.  Here that becomes dense batched compute:
 
-1.  All 48 shifted interleaves are built at once with a static gather
-    (ops/cost_volume.py:shift_stack) and the shift axis is folded into the
-    batch axis.
-2.  The depth-strided Conv3d stack -- kernels (8,3,3)/(4,3,3)/(2,3,3) with
-    matching depth strides over the 64 interleaved channels -- factorizes
-    *exactly* into three 2D convolutions with depth-block reshapes, because
-    each output depth consumes one non-overlapping depth window:
+1.  The first Conv3d of the reducer -- (1->16, k=(8,3,3), s=(8,1,1)) over
+    the 64 interleaved channels -- is *linear in its input*, so its response
+    to every (left, shifted-right) pair decomposes into two groups=8
+    convolutions computed ONCE and combined per shift by a gather
+    (InterweaveVolume.__call__): 48 lane-starved 8->16 convs become 3
+    MXU-shaped 32->128 convs + a shift-gather + an exact one-column boundary
+    correction.
+2.  The remaining depth-strided Conv3d layers -- (4,3,3)/(2,3,3) with
+    matching depth strides -- factorize *exactly* into 2D convolutions with
+    depth-block reshapes, batched over all shifts at once, because each
+    output depth consumes one non-overlapping depth window:
 
-        (B*S, H, W, 64) -> [view (.., 8 blk, 8 ch),  fold blk into batch]
-        conv2d 8->16     == Conv3d(1->16,  k=(8,3,3), s=(8,1,1))
         conv2d 64->32    == Conv3d(16->32, k=(4,3,3), s=(4,1,1))
         conv2d 64->16    == Conv3d(32->16, k=(2,3,3), s=(2,1,1))
 
     (tests/test_model_v4.py proves numerical equivalence against a literal
     per-shift loop formulation in eval mode.)  2D convs are exactly what the
     MXU wants: large batched contractions, no dynamic shapes.
-3.  Columns x < shift are zero-masked on the conv *input* (so the boundary
-    column sees the same zero padding the reference's sliced conv saw) and on
-    the volume output (reference writes only ``volume[:, :, i, :, i:]``).
+3.  Columns x < shift are zero-masked after *every* layer, so each conv sees
+    exactly the zero padding the reference's per-shift sliced conv saw at its
+    left edge, and the volume output zeros match the reference's sparse
+    writes (``volume[:, :, i, :, i:]``).
 
 Conscious deviation: the reference calls the same BatchNorm3d 48 times per
 step (one per shift), so each shift is normalized by its own slice statistics
@@ -38,10 +41,13 @@ reference :470-520; heads upsample the (48, H/4, W/4) cost trilinearly to
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from realtime_stereo_matcher_tpu.models.layers import (
+    BN_EPS,
+    BN_MOMENTUM,
     ConvBN,
     ConvTransposeBN,
     MobileV1Residual,
@@ -50,11 +56,8 @@ from realtime_stereo_matcher_tpu.models.layers import (
     torch_pad,
 )
 from realtime_stereo_matcher_tpu.ops import (
-    interweave_volume,
     pad_to_multiple,
-    resize_trilinear,
-    shift_stack,
-    soft_argmin,
+    soft_argmin_trilinear,
 )
 
 
@@ -91,45 +94,162 @@ class FeatureExtraction(nn.Module):
         return jnp.concatenate([l2, l3, l4], axis=-1)  # 320 ch
 
 
-class InterweaveVolumeReducer(nn.Module):
-    """The factorized Conv3d channel reducer + 1x1 head
-    (reference mobile_stereo_net_v4.py:317-335) applied to a batch of
-    interleaved feature pairs.
+class InterweaveVolume(nn.Module):
+    """Interweave cost volume + factorized Conv3d reducer
+    (reference mobile_stereo_net_v4.py:317-335,443-458) for all shifts at once.
 
-    Input:  (N, H, W, 2C) interleaved features (2C = 64).
-    Output: (N, H, W, 1) reduced matching score.
+    The per-shift work of the reference loop is 4 convolutions on an
+    interleaved (left, shifted-right) tensor.  The first of them -- Conv3d
+    (1->16, k=(8,3,3), s=(8,1,1)) over the 64 interleaved channels -- is
+    *linear*, so its response to every shift decomposes into two convolutions
+    computed ONCE:
+
+        z_s[x] = convL(L)[x] + convR(R)[x - s]          (x > s)
+        z_s[s] = convL(L)[s] - tapL(L)[s] + convR(R)[0]
+
+    where convL/convR use the even/odd (left/right) kernel slices over the 8
+    depth blocks (a groups=8 conv, 32ch -> 8x16), and tapL is the kernel's
+    leftmost column only -- the exact correction for the zero the reference's
+    sliced conv saw at its left boundary.  48 lane-starved 8->16 convolutions
+    become 3 MXU-shaped 32->128 convolutions plus a shift-gather.
+
+    The remaining 3 convs mix shifted features and must run per shift
+    (batched over shifts).  Outputs are re-zeroed at columns x < s after
+    every layer, so each layer sees exactly the zero padding the reference's
+    per-shift sliced conv saw: the batched volume equals the literal loop
+    (tests/test_model_v4.py) to float tolerance, structurally -- not only
+    where ReLUs happen to clip the boundary columns.
+
+    ``__call__(featL, featR) -> (B, S, H, W)`` volume with x < s zeroed;
+    ``reduce_slice(x)`` applies the same parameters to one interleaved
+    (N, H, W, 64) tensor with the reference's layer stack -- the test oracle.
     """
 
+    n_shifts: int = 48
+    chunk: int | None = None    # shifts per layer-2..4 pass (memory knob)
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
+        # Conv3d(1->16, k=(8,3,3), s=(8,1,1)) kernel; HWIO over the 8-channel
+        # depth window, shared across the 8 depth blocks (in_channels == 1).
+        self.conv3d0 = self.param(
+            "conv3d0", nn.initializers.lecun_normal(), (3, 3, 8, 16))
+        self.bn0 = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                dtype=self.dtype)
+        # Conv3d(16->32, k=(4,3,3), s=(4,1,1)): one (4 depth x 16)ch window
+        # per output depth block, shared across the 2 blocks.
+        self.conv1 = self.param(
+            "conv1", nn.initializers.lecun_normal(), (3, 3, 64, 32))
+        self.bn1 = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                dtype=self.dtype)
+        self.cb2 = ConvBN(16, kernel_size=(3, 3), padding=torch_pad(1),
+                          dtype=self.dtype)
+        self.cb3 = ConvBN(1, kernel_size=(1, 1), padding="VALID",
+                          dtype=self.dtype)
+
+    @staticmethod
+    def _block_diag(k, blocks):
+        """(3, 3, Ci, Co) kernel -> dense (3, 3, blocks*Ci, blocks*Co)
+        block-diagonal kernel.  Keeps depth blocks in the channel axis:
+        XLA's dense TPU convolution is ~8x faster than feature_group_count
+        here, and the pre/post reshapes are free (no relayout)."""
+        eye = jnp.eye(blocks, dtype=k.dtype)
+        kh, kw, ci, co = k.shape
+        kd = k[:, :, None, :, None, :] * eye[None, None, :, None, :, None]
+        return kd.reshape(kh, kw, blocks * ci, blocks * co)
+
+    def _conv(self, x, kern):
+        return jax.lax.conv_general_dilated(
+            x, kern.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def _tail(self, z, train, keep=None, b=1):
+        """Layers 2-4 on the (N, H, W, 128) layer-1 output (channel layout:
+        8 depth blocks x 16).  ``keep``: optional (N/b, W) column mask applied
+        after every layer (the reference's sliced-conv zero boundary)."""
+        n, h, w = z.shape[:3]
+
+        def mask(y):
+            if keep is None:
+                return y
+            full = keep[None, :, None, :].reshape(1, keep.shape[0], 1, w, 1)
+            return jnp.where(full, y.reshape(b, -1, h, w, y.shape[-1]),
+                             0.0).reshape(y.shape)
+
+        zn = nn.relu(self.bn0(z.reshape(n, h, w, 8, 16),
+                              use_running_average=not train))
+        zn = mask(zn.reshape(n, h, w, 128))
+
+        # Conv3d(16->32, k=(4,3,3), s=(4,1,1)): depth 8 -> 2 blocks of 4,
+        # as one dense block-diagonal 128->64 conv (no batch/channel shuffle)
+        y = self._conv(zn, self._block_diag(self.conv1, 2))
+        y = nn.relu(self.bn1(y.reshape(n, h, w, 2, 32),
+                             use_running_average=not train))
+        y = mask(y.reshape(n, h, w, 64))
+
+        # Conv3d(32->16, k=(2,3,3), s=(2,1,1)): depth 2 -> 1; the (2, 32)
+        # block-major channel layout is already this conv's input layout
+        y = mask(self.cb2(y, train))
+        return self.cb3(y, train)                       # (N, H, W, 1)
+
+    def __call__(self, featL, featR, train: bool = False):
+        b, h, w, c = featL.shape
+        assert c == 32, f"interweave volume expects 32-channel features, got {c}"
+        s_all = self.n_shifts
+
+        k = self.conv3d0
+        kl = self._block_diag(k[:, :, 0::2, :], 8)      # (3,3,32,128)
+        kr = self._block_diag(k[:, :, 1::2, :], 8)
+        kt = jnp.concatenate(
+            [kl[:, :1], jnp.zeros_like(kl[:, 1:])], axis=1)
+
+        a = self._conv(featL, kl)   # (B, H, W, 128): channel = 16*blk + o
+        bc = self._conv(featR, kr)
+        ct = self._conv(featL, kt)  # leftmost-column taps of convL
+
+        colw = jnp.arange(w)
+
+        def volume_chunk(s0, n_s):
+            shifts = s0 + jnp.arange(n_s)
+            # in_bounds[j, x] for x >= shift j (2D mask, broadcast per use)
+            keep = colw[None, :] >= shifts[:, None]             # (n_s, W)
+            at_s = colw[None, :] == shifts[:, None]
+            idx = jnp.maximum(colw[None, :] - shifts[:, None], 0)
+            stack = jnp.take(bc, idx, axis=2)                   # (B,H,n_s,W,C)
+            stack = jnp.transpose(stack, (0, 2, 1, 3, 4))       # (B,n_s,H,W,C)
+            m = lambda q: q[None, :, None, :, None]
+            z = a[:, None] + stack
+            z = z - jnp.where(m(at_s), 1.0, 0.0) * ct[:, None]
+            z = z.reshape(b * n_s, h, w, 128)
+
+            red = self._tail(z, train, keep=keep, b=b)          # (B*n_s,H,W,1)
+            vol = red.reshape(b, n_s, h, w)
+            return jnp.where(keep[None, :, None, :], vol, 0.0)
+
+        chunk = self.chunk or s_all
+        if chunk >= s_all:
+            return volume_chunk(0, s_all)
+        assert s_all % chunk == 0, (s_all, chunk)
+        return jnp.concatenate(
+            [volume_chunk(i, chunk) for i in range(0, s_all, chunk)], axis=1)
+
+    def reduce_slice(self, x, train: bool = False):
+        """Reference-layer-stack oracle on one interleaved (N, H, W, 64)
+        tensor (the reference's per-shift body, mobile_stereo_net_v4.py:
+        317-335) with the same parameters as ``__call__``."""
         n, h, w, c2 = x.shape
-        assert c2 == 64, f"interweave reducer expects 64 interleaved channels, got {c2}"
+        assert c2 == 64, f"interweave reducer expects 64 channels, got {c2}"
 
         # Conv3d(1->16, k=(8,3,3), s=(8,1,1)): 8 depth blocks of 8 -> batch
         y = x.reshape(n, h, w, 8, 8)                   # [blk, in-window]
         y = jnp.transpose(y, (0, 3, 1, 2, 4))          # (N, blk, H, W, 8)
         y = y.reshape(n * 8, h, w, 8)
-        y = ConvBN(16, kernel_size=(3, 3), padding=torch_pad(1),
-                   dtype=self.dtype)(y, train)
-
-        # Conv3d(16->32, k=(4,3,3), s=(4,1,1)): depth 8 -> 2 blocks of 4
-        y = y.reshape(n, 8, h, w, 16).reshape(n, 2, 4, h, w, 16)
-        y = jnp.transpose(y, (0, 1, 3, 4, 2, 5))       # (N, 2, H, W, 4, 16)
-        y = y.reshape(n * 2, h, w, 64)
-        y = ConvBN(32, kernel_size=(3, 3), padding=torch_pad(1),
-                   dtype=self.dtype)(y, train)
-
-        # Conv3d(32->16, k=(2,3,3), s=(2,1,1)): depth 2 -> 1
-        y = y.reshape(n, 2, h, w, 32)
-        y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(n, h, w, 64)
-        y = ConvBN(16, kernel_size=(3, 3), padding=torch_pad(1),
-                   dtype=self.dtype)(y, train)
-
-        # volume11: convbn(16->1, 1x1) + ReLU (reference :335)
-        y = ConvBN(1, kernel_size=(1, 1), padding="VALID", dtype=self.dtype)(y, train)
-        return y
+        y = jax.lax.conv_general_dilated(
+            y, self.conv3d0.astype(y.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(n, 8, h, w, 16)
+        y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(n, h, w, 128)
+        return self._tail(y, train)
 
 
 class Hourglass2D(nn.Module):
@@ -210,15 +330,18 @@ class MobileStereoNetV4(nn.Module):
         left, orig_hw = pad_to_multiple(left, 16)
         right, _ = pad_to_multiple(right, 16)
 
+        # two passes, like the reference (mobile_stereo_net_v4.py:434-441):
+        # measured faster than one batch-2 pass at KITTI shapes on v5e, and
+        # train-mode BN statistics stay per-image
         extractor = FeatureExtraction(dtype=self.dtype)
-        feat_l = extractor(left, train)
-        feat_r = extractor(right, train)
-
         preconv = PreConv11(dtype=self.dtype)
-        featL = preconv(feat_l, train)
-        featR = preconv(feat_r, train)
+        featL = preconv(extractor(left, train), train)
+        featR = preconv(extractor(right, train), train)
 
-        volume = self._build_volume(featL, featR, train)  # (B, S, h, w)
+        volume = InterweaveVolume(
+            n_shifts=self.volume_size,
+            chunk=min(self.volume_chunk, self.volume_size),
+            dtype=self.dtype)(featL, featR, train)        # (B, S, h, w)
 
         b, s, h, w = volume.shape
         cost = jnp.transpose(volume, (0, 2, 3, 1))  # NHWC, C = 48 shifts
@@ -254,10 +377,10 @@ class MobileStereoNetV4(nn.Module):
         ]
 
         def head(c):
-            # (B, h, w, S) -> (B, S, h, w) -> trilinear (maxdisp, H, W)
+            # (B, h, w, S) -> (B, S, h, w) -> fused trilinear-upsample
+            # soft-argmin over (maxdisp, H, W) without materializing it
             c = jnp.transpose(c, (0, 3, 1, 2)).astype(jnp.float32)
-            c = resize_trilinear(c, (self.max_disp, out_hw[0], out_hw[1]))
-            pred = soft_argmin(c, axis=1)  # (B, H, W)
+            pred = soft_argmin_trilinear(c, self.max_disp, out_hw)  # (B,H,W)
             return pred[..., None]
 
         if train:
@@ -268,38 +391,3 @@ class MobileStereoNetV4(nn.Module):
             -1.0 * p[:, : orig_hw[0], : orig_hw[1], :] for p in preds
         ]
 
-    def _build_volume(self, featL, featR, train):
-        """Batched interweave cost volume (reference :443-458, restructured).
-
-        Returns (B, S, h, w) with columns x < s zeroed.
-        """
-        b, h, w, c = featL.shape
-        s = self.volume_size
-
-        shifted_r, valid = shift_stack(featR, s)         # (B,S,h,w,C), mask
-        left_b = jnp.broadcast_to(featL[:, None], shifted_r.shape)
-        valid = valid.astype(featL.dtype)
-        # zero both streams where x < shift so conv boundary == reference's
-        # sliced-input zero padding
-        inter = interweave_volume(left_b * valid, shifted_r * valid)
-        inter = inter.reshape(b * s, h, w, 2 * c)
-
-        reducer = InterweaveVolumeReducer(dtype=self.dtype)
-        chunk = min(self.volume_chunk, s)
-        n = b * s
-        if chunk >= s:
-            red = reducer(inter, train)
-        else:
-            # static chunking over shifts to bound peak memory; module reuse
-            # shares parameters across calls
-            parts = []
-            step = b * chunk
-            for i in range(0, n, step):
-                parts.append(reducer(inter[i:i + step], train))
-            red = jnp.concatenate(parts, axis=0)
-
-        vol = red.reshape(b, s, h, w)
-        col = jnp.arange(w)[None, None, None, :]
-        shf = jnp.arange(s)[None, :, None, None]
-        vol = jnp.where(col >= shf, vol, 0.0)
-        return vol

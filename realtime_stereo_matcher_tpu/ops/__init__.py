@@ -8,6 +8,7 @@ from realtime_stereo_matcher_tpu.ops.cost_volume import (
     interweave_volume,
     shift_stack,
     soft_argmin,
+    soft_argmin_trilinear,
 )
 from realtime_stereo_matcher_tpu.ops.padding import InputPadder, pad_to_multiple
 from realtime_stereo_matcher_tpu.ops.sampling import (
@@ -26,6 +27,7 @@ __all__ = [
     "interweave_volume",
     "shift_stack",
     "soft_argmin",
+    "soft_argmin_trilinear",
     "InputPadder",
     "pad_to_multiple",
     "grid_sample_2d",

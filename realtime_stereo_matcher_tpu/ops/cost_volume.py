@@ -173,6 +173,62 @@ def interweave_volume(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     return stacked.reshape(*left.shape[:-1], 2 * left.shape[-1])
 
 
+def soft_argmin_trilinear(vol: jnp.ndarray, out_d: int, out_hw,
+                          *, chunk: int = 48) -> jnp.ndarray:
+    """``soft_argmin`` over a trilinearly upsampled cost volume, fused.
+
+    Numerically equivalent (modulo fp reassociation) to
+
+        soft_argmin(resize_trilinear(vol, (out_d, *out_hw)), axis=1)
+
+    for ``vol`` (B, S, h, w) -- the disparity-regression head of
+    MobileStereoNetV4 (reference model/mobile_stereo_net_v4.py:477-518) --
+    but never materializes the (B, out_d, H, W) f32 volume (368 MB at KITTI
+    shapes).  Spatial bilinear and depth-linear interpolation commute (both
+    are linear maps), so H, W are upsampled first at S slabs, and the depth
+    interpolation folds into an online-softmax (flash-softmax) scan over
+    output-depth chunks with (B, H, W) running (max, partition, expectation)
+    accumulators.
+
+    Returns (B, H, W) f32 expected disparity.
+    """
+    from realtime_stereo_matcher_tpu.ops.sampling import (
+        _linear_indices_weights,
+        resize_bilinear,
+    )
+
+    b, s, h, w = vol.shape
+    if out_d % chunk:
+        chunk = out_d
+    v = resize_bilinear(vol.astype(jnp.float32), out_hw, h_axis=2, w_axis=3)
+    hh, ww = out_hw
+
+    i0, i1, t = _linear_indices_weights(out_d, s)
+    n = out_d // chunk
+    xs = (i0.reshape(n, chunk), i1.reshape(n, chunk),
+          t.reshape(n, chunk).astype(jnp.float32),
+          jnp.arange(out_d, dtype=jnp.float32).reshape(n, chunk))
+
+    def body(carry, x):
+        m, z, e = carry
+        j0, j1, tj, dj = x
+        l0 = jnp.take(v, j0, axis=1)
+        l1 = jnp.take(v, j1, axis=1)
+        logit = l0 + tj[None, :, None, None] * (l1 - l0)  # (B, chunk, H, W)
+        m2 = jnp.maximum(m, jnp.max(logit, axis=1))
+        p = jnp.exp(logit - m2[:, None])
+        scale = jnp.exp(m - m2)
+        z = z * scale + jnp.sum(p, axis=1)
+        e = e * scale + jnp.sum(dj[None, :, None, None] * p, axis=1)
+        return (m2, z, e), None
+
+    init = (jnp.full((b, hh, ww), -jnp.inf, jnp.float32),
+            jnp.zeros((b, hh, ww), jnp.float32),
+            jnp.zeros((b, hh, ww), jnp.float32))
+    (_, z, e), _ = jax.lax.scan(body, init, xs)
+    return e / z
+
+
 def soft_argmin(cost: jnp.ndarray, axis: int = 1, *, keepdims: bool = False):
     """Softmax-weighted expected disparity (soft arg-min over matching cost).
 

@@ -104,3 +104,23 @@ def test_soft_argmin_matches_definition(rng):
     onehot[0, 3] = 100.0
     out = np.asarray(soft_argmin(jnp.asarray(onehot), axis=1))
     np.testing.assert_allclose(out, [[[3.0]]], atol=1e-5)
+
+
+def test_soft_argmin_trilinear_matches_composition(rng):
+    from realtime_stereo_matcher_tpu.ops import (
+        resize_trilinear,
+        soft_argmin,
+        soft_argmin_trilinear,
+    )
+
+    vol = jnp.asarray(rng.standard_normal((2, 12, 6, 10), dtype=np.float32))
+    out_d, out_hw = 48, (24, 40)
+    want = soft_argmin(
+        resize_trilinear(vol, (out_d, *out_hw)), axis=1)
+    got = soft_argmin_trilinear(vol, out_d, out_hw, chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # chunk not dividing out_d falls back to a single pass
+    got1 = soft_argmin_trilinear(vol, out_d, out_hw, chunk=36)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
