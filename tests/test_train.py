@@ -104,3 +104,35 @@ def test_onecycle_schedule_matches_torch():
     # monotone decreasing after peak
     mid, late = float(sched(total // 2)), float(sched(int(total * 0.9)))
     assert mid > late
+
+
+def test_train_step_v4_descends(tmp_path, rng):
+    """Gradients flow through the decomposed interweave volume (block-diag
+    kernel embeddings, shift-gather, per-layer masks) and the online-softmax
+    trilinear head (lax.scan) of MobileStereoNetV4."""
+    cfg = load_config({
+        "name": "TINYV4", "path": str(tmp_path),
+        "train": {"batch_size": 2, "restore_checkpoint": "",
+                  "save_checkpoint_frequency": 1000, "datasets": [],
+                  "learn_rate": 1e-3, "num_of_steps": 6,
+                  "weight_decay": 1e-5,
+                  "loss": {"type": "SequenceLoss",
+                           "parameters": {"loss_gamma": 0.9,
+                                          "max_flow_magnitude": 700}}},
+        "model": {"type": "MobileStereoNetV4",
+                  "parameters": {"max_disp": 32, "volume_size": 8,
+                                 "hg_size": 8}},
+        "data": {"image_size": [32, 48], "spatial_scale": [-0.2, 0.4],
+                 "do_flip": False, "no_y_jitter": False},
+    })
+    model, tx, schedule, state = create_train_state(cfg)
+    step_fn = jax.jit(make_train_step(model, tx, cfg.train.loss.parameters),
+                      donate_argnums=(0,))
+    img1, img2, flow, valid = _synthetic_batch(rng, 2, 32, 48)
+    losses = []
+    for _ in range(6):
+        state, metrics = step_fn(state, jnp.asarray(img1), jnp.asarray(img2),
+                                 jnp.asarray(flow), jnp.asarray(valid))
+        losses.append(float(metrics["live_loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
