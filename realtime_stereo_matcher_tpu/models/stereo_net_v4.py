@@ -378,8 +378,10 @@ class MobileStereoNetV4(nn.Module):
 
         def head(c):
             # (B, h, w, S) -> (B, S, h, w) -> fused trilinear-upsample
-            # soft-argmin over (maxdisp, H, W) without materializing it
-            c = jnp.transpose(c, (0, 3, 1, 2)).astype(jnp.float32)
+            # soft-argmin over (maxdisp, H, W) without materializing it.
+            # The spatial resize stays in the model compute dtype (the
+            # reference upsamples under fp16 autocast); softmax runs in f32.
+            c = jnp.transpose(c, (0, 3, 1, 2))
             pred = soft_argmin_trilinear(c, self.max_disp, out_hw)  # (B,H,W)
             return pred[..., None]
 

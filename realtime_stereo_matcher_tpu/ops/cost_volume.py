@@ -190,6 +190,12 @@ def soft_argmin_trilinear(vol: jnp.ndarray, out_d: int, out_hw,
     output-depth chunks with (B, H, W) running (max, partition, expectation)
     accumulators.
 
+    The spatial upsample runs in ``vol.dtype`` (pass bf16 for the TPU fast
+    path -- the reference evaluates under fp16 autocast, so reduced-precision
+    interpolation matches its deployed numerics, and the f32 resize is
+    2x the whole head's HBM traffic); logits, softmax and the expectation
+    always accumulate in f32.
+
     Returns (B, H, W) f32 expected disparity.
     """
     from realtime_stereo_matcher_tpu.ops.sampling import (
@@ -200,7 +206,7 @@ def soft_argmin_trilinear(vol: jnp.ndarray, out_d: int, out_hw,
     b, s, h, w = vol.shape
     if out_d % chunk:
         chunk = out_d
-    v = resize_bilinear(vol.astype(jnp.float32), out_hw, h_axis=2, w_axis=3)
+    v = resize_bilinear(vol, out_hw, h_axis=2, w_axis=3)
     hh, ww = out_hw
 
     i0, i1, t = _linear_indices_weights(out_d, s)
@@ -212,8 +218,8 @@ def soft_argmin_trilinear(vol: jnp.ndarray, out_d: int, out_hw,
     def body(carry, x):
         m, z, e = carry
         j0, j1, tj, dj = x
-        l0 = jnp.take(v, j0, axis=1)
-        l1 = jnp.take(v, j1, axis=1)
+        l0 = jnp.take(v, j0, axis=1).astype(jnp.float32)
+        l1 = jnp.take(v, j1, axis=1).astype(jnp.float32)
         logit = l0 + tj[None, :, None, None] * (l1 - l0)  # (B, chunk, H, W)
         m2 = jnp.maximum(m, jnp.max(logit, axis=1))
         p = jnp.exp(logit - m2[:, None])

@@ -124,3 +124,20 @@ def test_soft_argmin_trilinear_matches_composition(rng):
     got1 = soft_argmin_trilinear(vol, out_d, out_hw, chunk=36)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_soft_argmin_trilinear_bf16_resize_close(rng):
+    """bf16 spatial resize (the TPU fast path) tracks the f32 composition."""
+    from realtime_stereo_matcher_tpu.ops import (
+        resize_trilinear,
+        soft_argmin,
+        soft_argmin_trilinear,
+    )
+
+    vol = jnp.asarray(rng.standard_normal((1, 12, 6, 10), dtype=np.float32))
+    want = np.asarray(soft_argmin(
+        resize_trilinear(vol, (48, 24, 40)), axis=1)).astype(np.float32)
+    got = np.asarray(soft_argmin_trilinear(
+        vol.astype(jnp.bfloat16), 48, (24, 40), chunk=16))
+    err = np.abs(got - want)
+    assert float(np.median(err)) < 0.25, float(np.median(err))
