@@ -192,10 +192,17 @@ class InterweaveVolume(nn.Module):
         y = mask(self.cb2(y, train))
         return self.cb3(y, train)                       # (N, H, W, 1)
 
-    def __call__(self, featL, featR, train: bool = False):
+    def volume_slab(self, featL, featR, s0, train: bool = False,
+                    n_s: int | None = None):
+        """(B, n_s, H, W) volume for global shifts [s0, s0 + n_s).
+
+        ``s0`` may be a traced value (e.g. ``jax.lax.axis_index`` inside a
+        ``shard_map`` over a ``disp`` mesh axis -- see
+        parallel/disparity_sharding.py); ``n_s`` must be static.
+        """
         b, h, w, c = featL.shape
         assert c == 32, f"interweave volume expects 32-channel features, got {c}"
-        s_all = self.n_shifts
+        n_s = self.n_shifts if n_s is None else n_s
 
         k = self.conv3d0
         kl = self._block_diag(k[:, :, 0::2, :], 8)      # (3,3,32,128)
@@ -208,30 +215,31 @@ class InterweaveVolume(nn.Module):
         ct = self._conv(featL, kt)  # leftmost-column taps of convL
 
         colw = jnp.arange(w)
+        shifts = s0 + jnp.arange(n_s)
+        # in_bounds[j, x] for x >= shift j (2D mask, broadcast per use)
+        keep = colw[None, :] >= shifts[:, None]             # (n_s, W)
+        at_s = colw[None, :] == shifts[:, None]
+        idx = jnp.maximum(colw[None, :] - shifts[:, None], 0)
+        stack = jnp.take(bc, idx, axis=2)                   # (B,H,n_s,W,C)
+        stack = jnp.transpose(stack, (0, 2, 1, 3, 4))       # (B,n_s,H,W,C)
+        m = lambda q: q[None, :, None, :, None]
+        z = a[:, None] + stack
+        z = z - jnp.where(m(at_s), 1.0, 0.0) * ct[:, None]
+        z = z.reshape(b * n_s, h, w, 128)
 
-        def volume_chunk(s0, n_s):
-            shifts = s0 + jnp.arange(n_s)
-            # in_bounds[j, x] for x >= shift j (2D mask, broadcast per use)
-            keep = colw[None, :] >= shifts[:, None]             # (n_s, W)
-            at_s = colw[None, :] == shifts[:, None]
-            idx = jnp.maximum(colw[None, :] - shifts[:, None], 0)
-            stack = jnp.take(bc, idx, axis=2)                   # (B,H,n_s,W,C)
-            stack = jnp.transpose(stack, (0, 2, 1, 3, 4))       # (B,n_s,H,W,C)
-            m = lambda q: q[None, :, None, :, None]
-            z = a[:, None] + stack
-            z = z - jnp.where(m(at_s), 1.0, 0.0) * ct[:, None]
-            z = z.reshape(b * n_s, h, w, 128)
+        red = self._tail(z, train, keep=keep, b=b)          # (B*n_s,H,W,1)
+        vol = red.reshape(b, n_s, h, w)
+        return jnp.where(keep[None, :, None, :], vol, 0.0)
 
-            red = self._tail(z, train, keep=keep, b=b)          # (B*n_s,H,W,1)
-            vol = red.reshape(b, n_s, h, w)
-            return jnp.where(keep[None, :, None, :], vol, 0.0)
-
+    def __call__(self, featL, featR, train: bool = False):
+        s_all = self.n_shifts
         chunk = self.chunk or s_all
         if chunk >= s_all:
-            return volume_chunk(0, s_all)
+            return self.volume_slab(featL, featR, 0, train)
         assert s_all % chunk == 0, (s_all, chunk)
         return jnp.concatenate(
-            [volume_chunk(i, chunk) for i in range(0, s_all, chunk)], axis=1)
+            [self.volume_slab(featL, featR, i, train, n_s=chunk)
+             for i in range(0, s_all, chunk)], axis=1)
 
     def reduce_slice(self, x, train: bool = False):
         """Reference-layer-stack oracle on one interleaved (N, H, W, 64)

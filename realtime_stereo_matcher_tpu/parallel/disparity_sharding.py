@@ -133,3 +133,43 @@ def make_sharded_coarse_fn(mesh: Mesh, filter_params, filter_batch_stats,
         mapped = shard_map(shard_fn, mesh=mesh, in_specs=(in_spec, in_spec),
                            out_specs=P(), check_rep=False)
     return jax.jit(mapped)
+
+
+def make_sharded_v4_volume_fn(mesh: Mesh, vol_module, variables,
+                              axis: str = "disp"):
+    """Shift-axis (disparity) sharding for MobileStereoNetV4's interweave
+    cost volume (models/stereo_net_v4.py:InterweaveVolume).
+
+    Each device computes the volume slab for its global shift range
+    [k*S/n, (k+1)*S/n) -- features replicated, no halo needed: the reducer's
+    convolutions are spatial-only, so shifts are embarrassingly parallel.
+    Only the (B, S/n, H, W) scalar slabs meet again, all-gathered over the
+    ``disp`` axis (~S*H*W floats, ~50x smaller than the reducer activations).
+
+    Returns a jitted (featL, featR) -> (B, S, H, W) volume, bit-equivalent
+    (up to float reassociation) to ``vol_module.apply(variables, ...)``.
+    """
+    from realtime_stereo_matcher_tpu.models.stereo_net_v4 import (
+        InterweaveVolume,
+    )
+
+    n = mesh.shape[axis]
+    s_all = vol_module.n_shifts
+    assert s_all % n == 0, (s_all, n)
+    s_local = s_all // n
+
+    def shard_fn(featL, featR):
+        k = jax.lax.axis_index(axis)
+        slab = vol_module.apply(
+            variables, featL, featR, k * s_local, False, s_local,
+            method=InterweaveVolume.volume_slab)        # (B, S/n, H, W)
+        return jax.lax.all_gather(slab, axis, axis=1, tiled=True)
+
+    in_spec = P()
+    try:
+        mapped = shard_map(shard_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                           out_specs=P(), check_vma=False)
+    except TypeError:  # older jax spells the flag check_rep
+        mapped = shard_map(shard_fn, mesh=mesh, in_specs=(in_spec, in_spec),
+                           out_specs=P(), check_rep=False)
+    return jax.jit(mapped)

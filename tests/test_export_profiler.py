@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from realtime_stereo_matcher_tpu.export import (
     aot_compile,
@@ -65,3 +66,25 @@ def test_cost_analysis_generic():
         lambda a, b: a @ b, jnp.ones((128, 256)), jnp.ones((256, 64)))
     # 2*M*N*K FLOPs for a matmul
     assert abs(cost.get("flops", 0.0) - 2 * 128 * 256 * 64) / (2 * 128 * 256 * 64) < 0.1
+
+
+@pytest.mark.parametrize("model_type,params", [
+    ("MobileStereoNetV4", {"max_disp": 32, "volume_size": 8, "hg_size": 8}),
+    ("MobileDispNetC", {"max_disp": 32}),
+])
+def test_export_roundtrip_all_models(rng, tmp_path, model_type, params):
+    """V4's shift-gather volume + online-softmax scan head and DispNetC's
+    transpose-conv decoder must survive StableHLO export."""
+    model = build_model({"type": model_type, "parameters": params})
+    left = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    want = model.apply(variables, left, right, train=False)[-1]
+
+    path = export_stereo_model(
+        model, variables, image_hw=(64, 96),
+        output_file=tmp_path / f"{model_type}.stablehlo", platforms=("cpu",))
+    got = load_exported(path).call(left, right)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-2)
