@@ -120,6 +120,64 @@ def adjust_gamma(img: np.ndarray, gamma: float, gain: float = 1.0) -> np.ndarray
     return np.clip(255.0 * gain * np.power(x, gamma), 0, 255)
 
 
+# --- CIELAB color-statistics transfer (reference dataset/augmentor.py:30-45;
+# a style-transfer helper the reference keeps but never wires into the
+# augmentors).  skimage is not available here, so the sRGB <-> CIELAB (D65)
+# conversions are implemented directly in numpy.
+
+_RGB2XYZ = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]], np.float64)
+_XYZ2RGB = np.linalg.inv(_RGB2XYZ)
+_WHITE_D65 = np.array([0.95047, 1.0, 1.08883], np.float64)
+
+
+def _srgb_to_linear(c):
+    return np.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
+
+
+def _linear_to_srgb(c):
+    c = np.clip(c, 0.0, 1.0)
+    return np.where(c > 0.0031308, 1.055 * c ** (1 / 2.4) - 0.055, 12.92 * c)
+
+
+def rgb_to_lab(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) RGB in [0, 1] -> CIELAB (L in [0, 100]), D65 white point."""
+    xyz = _srgb_to_linear(rgb.astype(np.float64)) @ _RGB2XYZ.T
+    t = xyz / _WHITE_D65
+    eps, kappa = (6 / 29) ** 3, (29 / 6) ** 2 / 3
+    f = np.where(t > eps, np.cbrt(t), kappa * t + 4 / 29)
+    fl, fa, fb = f[..., 0], f[..., 1], f[..., 2]
+    return np.stack([116 * fa - 16, 500 * (fl - fa), 200 * (fa - fb)], -1)
+
+
+def lab_to_rgb(lab: np.ndarray) -> np.ndarray:
+    """CIELAB -> (H, W, 3) RGB in [0, 1] (inverse of :func:`rgb_to_lab`)."""
+    l, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    fy = (l + 16) / 116
+    f = np.stack([fy + a / 500, fy, fy - b / 200], -1)
+    eps, kappa = 6 / 29, (29 / 6) ** 2 / 3
+    t = np.where(f > eps, f ** 3, (f - 4 / 29) / kappa)
+    return _linear_to_srgb((t * _WHITE_D65) @ _XYZ2RGB.T)
+
+
+def transfer_color(image: np.ndarray, style_mean: np.ndarray,
+                   style_stddev: np.ndarray) -> np.ndarray:
+    """Match the image's CIELAB channel statistics to a style's mean/stddev
+    (reference dataset/augmentor.py:30-45).
+
+    ``image`` is (H, W, 3) RGB in [0, 255]; ``style_mean``/``style_stddev``
+    broadcast against (1, 1, 3) Lab stats.  L is clipped to [0, 100] before
+    converting back; returns float RGB in [0, 255].
+    """
+    lab = rgb_to_lab(np.asarray(image, np.float64) / 255.0)
+    mean = lab.mean(axis=(0, 1), keepdims=True)
+    std = lab.std(axis=(0, 1), keepdims=True)
+    out = (lab - mean) * (np.asarray(style_stddev) / std) + style_mean
+    out[..., 0] = np.clip(out[..., 0], 0.0, 100.0)
+    return lab_to_rgb(out) * 255.0
+
+
 class ColorJitter:
     """Random-order brightness/contrast/saturation/hue + gamma, applied to a
     uint8 image (torchvision Compose([ColorJitter, AdjustGamma]) semantics,

@@ -26,7 +26,21 @@ from realtime_stereo_matcher_tpu.ops import (
     correlation_cost_volume,
     pad_to_multiple,
     resize_bilinear,
+    soft_argmin,
 )
+
+
+def disparity_regression(corr_volume: jnp.ndarray, max_disp: int):
+    """Softmax disparity regression over a (B, D, H, W) correlation volume
+    (reference model/mobile_disp_net_c.py:208-220 -- defined there but, like
+    here, not used by the DispNetC forward, which regresses disparity through
+    its decoder heads instead).
+
+    Returns ``sum_d d * softmax(corr)[d]`` as (B, 1, H, W).
+    """
+    assert corr_volume.ndim == 4, corr_volume.shape
+    assert corr_volume.shape[1] == max_disp, (corr_volume.shape, max_disp)
+    return soft_argmin(corr_volume, axis=1, keepdims=True)
 
 
 class Conv2dBlock(nn.Module):

@@ -139,3 +139,34 @@ def test_config_ingests_reference_schema(tmp_path):
     assert ap["yjitter"] is True
     # fixed reference bug: saturation_range is honored when present
     assert ap["saturation_range"] == (0, 1.4)
+
+
+def test_rgb_lab_roundtrip_and_transfer_color(rng):
+    from realtime_stereo_matcher_tpu.data.augment import (
+        lab_to_rgb,
+        rgb_to_lab,
+        transfer_color,
+    )
+
+    img = rng.uniform(0.05, 0.95, (16, 20, 3))
+    np.testing.assert_allclose(lab_to_rgb(rgb_to_lab(img)), img, atol=1e-6)
+    # pure white / black anchor points of the Lab scale
+    np.testing.assert_allclose(
+        rgb_to_lab(np.ones((1, 1, 3)))[0, 0], [100.0, 0.0, 0.0], atol=1e-2)
+    np.testing.assert_allclose(
+        rgb_to_lab(np.zeros((1, 1, 3)))[0, 0], [0.0, 0.0, 0.0], atol=1e-6)
+
+    # transferring an image onto its own Lab stats is the identity
+    src = rng.uniform(20, 235, (12, 14, 3))
+    lab = rgb_to_lab(src / 255.0)
+    same = transfer_color(src, lab.mean((0, 1), keepdims=True),
+                          lab.std((0, 1), keepdims=True))
+    np.testing.assert_allclose(same, src, atol=1e-4)
+
+    # transferred image inherits the style's Lab statistics
+    style_mean = np.array([[[55.0, 6.0, -8.0]]])
+    style_std = np.array([[[18.0, 4.0, 5.0]]])
+    out = transfer_color(src, style_mean, style_std)
+    out_lab = rgb_to_lab(np.clip(out, 0, 255) / 255.0)
+    np.testing.assert_allclose(out_lab.mean((0, 1)), style_mean[0, 0], atol=0.75)
+    np.testing.assert_allclose(out_lab.std((0, 1)), style_std[0, 0], atol=0.75)

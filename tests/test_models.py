@@ -88,3 +88,21 @@ def test_non_divisible_input_shapes(rng):
     variables = model.init(jax.random.PRNGKey(0), l, r, train=False)
     preds = model.apply(variables, l, r, train=False)
     assert preds[-1].shape == (1, 50, 70, 1)
+
+
+def test_disp_net_c_disparity_regression(rng):
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from realtime_stereo_matcher_tpu.models.disp_net_c import (
+        disparity_regression,
+    )
+
+    corr = rng.standard_normal((2, 12, 5, 7)).astype(np.float32)
+    got = np.asarray(disparity_regression(jnp.asarray(corr), 12))
+    t = torch.from_numpy(corr)
+    vals = torch.arange(0, 12, dtype=t.dtype).view(1, 12, 1, 1)
+    want = torch.sum(F.softmax(t, dim=1) * vals, dim=1, keepdim=True).numpy()
+    assert got.shape == (2, 1, 5, 7)
+    np.testing.assert_allclose(got, want, atol=1e-5)
