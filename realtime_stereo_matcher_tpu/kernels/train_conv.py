@@ -1,0 +1,269 @@
+"""Differentiable fused conv3x3 on the flat lane-folded layout (training path).
+
+XLA's autodiff of a C=32 spatial convolution is the training bottleneck: at
+batch 4, 480x640 the measured cost is ~3 ms forward / ~13 ms backward *per
+conv* (the wgrad at 32 channels is the worst offender), putting the v1 train
+step at 321 ms -- while the inference Pallas kernel (kernels/conv3x3.py) runs
+the same conv in ~0.3 ms.  This module makes that kernel differentiable:
+
+* ``flat_conv3x3(xf, w, dilation, phase_in)`` -- a :func:`jax.custom_vjp`
+  pure conv (no epilogue) on flat activations.  Forward runs the fused
+  Pallas kernel with an identity epilogue.
+* **dx** is the same Pallas kernel applied to the output cotangent with the
+  spatially-flipped, in/out-transposed weights (the adjoint of a SAME
+  zero-padded conv is a SAME conv) -- same dilation, phase-aware.
+* **dw** contracts each folded weight block's input window against the
+  cotangent: ``dW_b = a_b^T @ g`` with both operands (M, 128) and M = all
+  core pixels -- full-lane MXU reductions instead of XLA's 32-channel wgrad
+  -- then unfolds through the transpose of the (static, one-hot) fold map.
+
+Weight folding here is *traced* (einsum against a precomputed one-hot
+selector) so gradients flow to the canonical (3, 3, 32, 32) HWIO weights;
+the numpy-time folds in kernels/conv3x3.py stay for the inference path.
+
+Batching: images are stacked along the flat row axis with ``PADR`` zero gap
+rows between them (``to_flat_batch``); the conv kernel sees one tall image,
+and the >= dilation-wide zero gaps preserve per-image SAME padding.  The gap
+rows stay zero through pure convs; epilogues applied in XLA (BN bias etc.)
+must re-mask them (see models/fast_train.py).
+
+Reference semantics anchored at model/mobile_stereo_net.py:30-43 (conv_3x3)
+-- geometry identical to torch Conv2d(k=3, padding=d, dilation=d).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
+
+LANES = k3.LANES
+PADR = k3.PADR
+PADC = k3.PADC_TILES
+SPARE = k3.SPARE_TILES
+F = 4  # lane fold: 4 px x 32 ch
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_selector(dilation: int, phase_in: int):
+    """One-hot fold map sel[ky, kx, b, j, p] plus per-block tile offsets.
+
+    ``blocks[b, j*32+ci, p*32+co] = sum_{ky,kx} sel[ky,kx,b,j,p] w[ky,kx,ci,co]``
+    reproduces fold_conv3x3_split_weights (dilation <= 2, 6 blocks, phase
+    flip) / fold_conv3x3_weights (9 blocks, phase keep) exactly.
+    """
+    if dilation <= 2:
+        offs = k3.split_offsets(phase_in)
+        shift = 2 - 2 * phase_in
+        n_b = 6
+        sel = np.zeros((3, 3, n_b, F, F), np.float32)
+        for ky in range(3):
+            for si, t in enumerate(offs):
+                for j in range(F):
+                    for p in range(F):
+                        rel = 4 * t + j - p + shift
+                        if rel % dilation:
+                            continue
+                        dx = rel // dilation
+                        if -1 <= dx <= 1:
+                            sel[ky, dx + 1, ky * 2 + si, j, p] = 1.0
+        per_dy = 2
+        phase_out = 2 - phase_in
+    else:
+        offs = k3.tile_offsets(dilation, F)
+        n_b = 9
+        sel = np.zeros((3, 3, n_b, F, F), np.float32)
+        for ky in range(3):
+            for ti, t in enumerate(offs):
+                for j in range(F):
+                    for p in range(F):
+                        rel = t * F + j - p
+                        if rel % dilation:
+                            continue
+                        dx = rel // dilation
+                        if -1 <= dx <= 1:
+                            sel[ky, dx + 1, ky * 3 + ti, j, p] = 1.0
+        per_dy = 3
+        phase_out = phase_in
+    # numpy, not jnp: this is lru-cached, and a jnp constant created while
+    # tracing would leak a tracer into later traces
+    return sel, offs, per_dy, phase_out
+
+
+def fold_weights_traced(w: jnp.ndarray, dilation: int, phase_in: int):
+    """(3, 3, 32, 32) HWIO weights -> (n_blocks, 128, 128), differentiable."""
+    sel, _, _, _ = _fold_selector(dilation, phase_in)
+    blocks = jnp.einsum("yxio,yxbjp->bjipo", w.astype(jnp.float32),
+                        jnp.asarray(sel))
+    return blocks.reshape(blocks.shape[0], LANES, LANES)
+
+
+def unfold_weight_grad(d_blocks: jnp.ndarray, dilation: int, phase_in: int):
+    """Adjoint of :func:`fold_weights_traced`: (n_b, 128, 128) -> (3,3,32,32)."""
+    sel, _, _, _ = _fold_selector(dilation, phase_in)
+    db = d_blocks.reshape(d_blocks.shape[0], F, 32, F, 32)
+    return jnp.einsum("bjipo,yxbjp->yxio", db, jnp.asarray(sel))
+
+
+def _identity_sb():
+    return jnp.ones((LANES,), jnp.float32), jnp.zeros((LANES,), jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _col_lane_mask(wt: int, phase: int) -> np.ndarray:
+    """(1, wt, 128) numpy 0/1 mask of image canvas tiles (+ phase spill
+    lanes): small enough to embed as a literal."""
+    wc = wt - 2 * PADC
+    img_tiles = wc - SPARE
+    m = np.zeros((1, wt, LANES), np.float32)
+    if phase == 0:
+        m[:, PADC:PADC + img_tiles, :] = 1.0
+    else:
+        m[:, PADC:PADC + img_tiles + 1, :] = 1.0
+        m[:, PADC, :64] = 0.0                      # px {-2,-1} slots
+        m[:, PADC + img_tiles, 64:] = 0.0          # px {W, W+1} slots
+    return m
+
+
+def _core_row_mask(rows: int) -> jnp.ndarray:
+    """(rows, 1, 1) jnp 0/1 mask of core (non-halo) rows, built from iota so
+    large flat shapes never become HLO literals."""
+    r = jnp.arange(rows)[:, None, None]
+    return ((r >= PADR) & (r < rows - PADR)).astype(jnp.float32)
+
+
+def struct_mask_expr(rows: int, wt: int, phase: int) -> jnp.ndarray:
+    """(rows, wt, 128) jnp mask of positions the conv kernel treats as image
+    canvas at a given pixel phase.  Used to re-zero cotangents/epilogues so
+    the zero-halo invariant of the flat layout survives non-conv ops."""
+    return _core_row_mask(rows) * jnp.asarray(_col_lane_mask(wt, phase))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flat_conv3x3(xf: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
+                 phase_in: int = 0) -> jnp.ndarray:
+    """Pure fused conv3x3 on a flat activation, differentiable.
+
+    Args:
+      xf: (rows, WT, 128) flat activation at pixel phase ``phase_in`` with
+        zeroed halos (``to_flat`` / ``to_flat_batch`` layout).
+      w: (3, 3, 32, 32) HWIO weights (pad channels to 32 before calling).
+    Returns:
+      (rows, WT, 128) flat conv output at the fold's output phase
+      (``2 - phase_in`` for dilation <= 2, else ``phase_in``), zeroed halos.
+    """
+    scale, bias = _identity_sb()
+    blocks = fold_weights_traced(w, dilation, phase_in)
+    return k3.fused_conv3x3_flat(xf, blocks.astype(xf.dtype), scale, bias,
+                                 dilation=dilation, relu=False,
+                                 phase_in=phase_in)
+
+
+def _conv_fwd(xf, w, dilation, phase_in):
+    return flat_conv3x3(xf, w, dilation, phase_in), (xf, w)
+
+
+def _conv_bwd(dilation, phase_in, res, g):
+    xf, w = res
+    rows, wt, _ = g.shape
+    _, _, _, phase_out = _fold_selector(dilation, phase_in)
+
+    # structural re-masking: downstream ops may carry cotangent into halo /
+    # spill positions whose forward value is constant zero
+    g = g * struct_mask_expr(rows, wt, phase_out).astype(g.dtype)
+
+    # dx: SAME conv of g with rot180 + channel-transposed weights
+    w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    scale, bias = _identity_sb()
+    blocks_t = fold_weights_traced(w_t, dilation, phase_out)
+    dx = k3.fused_conv3x3_flat(g, blocks_t.astype(g.dtype), scale, bias,
+                               dilation=dilation, relu=False,
+                               phase_in=phase_out)
+
+    # dw: per-block full-lane reductions dW_b = a_b^T @ g over core pixels
+    sel, offs, per_dy, _ = _fold_selector(dilation, phase_in)
+    h = rows - 2 * PADR
+    wc = wt - 2 * PADC
+    g_core = jax.lax.slice(g, (PADR, PADC, 0), (PADR + h, PADC + wc, LANES))
+    g2 = g_core.reshape(h * wc, LANES)
+    d_blocks = []
+    for b in range(sel.shape[2]):
+        ky = b // per_dy
+        t = offs[b % per_dy]
+        dy = (ky - 1) * dilation
+        a = jax.lax.slice(xf, (PADR + dy, PADC + t, 0),
+                          (PADR + dy + h, PADC + t + wc, LANES))
+        a2 = a.reshape(h * wc, LANES)
+        # HIGHEST: exact for f32 operands (bf16 operands are unaffected);
+        # the default single-pass bf16 costs ~4% relative error on these
+        # pixel-count-long reductions
+        d_blocks.append(jax.lax.dot_general(
+            a2, g2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+    dw = unfold_weight_grad(jnp.stack(d_blocks), dilation, phase_in)
+    return dx.astype(xf.dtype), dw.astype(w.dtype)
+
+
+flat_conv3x3.defvjp(_conv_fwd, _conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# batched flat layout: images stacked along rows with PADR zero gap rows
+
+
+def batch_flat_geometry(b: int, h: int):
+    """Row layout of a batched flat tensor: rows, per-image core row starts."""
+    rows = 2 * PADR + b * h + (b - 1) * PADR
+    starts = [PADR + i * (h + PADR) for i in range(b)]
+    return rows, starts
+
+
+def to_flat_batch(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
+    """(B, H, W, C) -> flat (rows, WT, 128) with PADR zero gap rows between
+    images (and the usual top/bottom halos + column pads)."""
+    b, h, w, c = x.shape
+    if b == 1:
+        return k3.to_flat(x, c_pad)
+    f = LANES // c_pad
+    assert w % f == 0 and (w // f) % 8 == 0, (w, f)
+    if c < c_pad:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, c_pad - c),))
+    xt = x.reshape(b, h, w // f, LANES)
+    xt = jnp.pad(xt, ((0, 0), (0, PADR), (0, 0), (0, 0)))  # gap below each
+    xt = xt.reshape(b * (h + PADR), w // f, LANES)
+    xt = jnp.pad(xt, ((PADR, 0), (PADC, SPARE + PADC), (0, 0)))
+    # bottom: PADR gap of the last image already appended -> total halo ok
+    return xt
+
+
+def from_flat_batch(xf: jnp.ndarray, b: int, h: int, w: int, c: int,
+                    c_pad: int = 32, phase: int = 0) -> jnp.ndarray:
+    """Inverse of :func:`to_flat_batch` -> (B, H, W, C)."""
+    f = LANES // c_pad
+    tiles = w // f + (1 if phase else 0)
+    outs = []
+    _, starts = batch_flat_geometry(b, h)
+    for s in starts:
+        core = jax.lax.slice(xf, (s, PADC, 0),
+                             (s + h, PADC + tiles, LANES))
+        img = core.reshape(h, tiles * f, c_pad)[None]
+        outs.append(img[:, :, phase:phase + w, :c])
+    return jnp.concatenate(outs, axis=0)
+
+
+def batch_image_mask(rows: int, wt: int, b: int, h: int, phase: int):
+    """(rows, wt, 128) jnp 0/1 mask of true image positions in a batched
+    flat tensor: structural mask minus the inter-image gap rows.  Built from
+    iota expressions (a fused broadcast at run time) -- a literal mask at
+    full-resolution shapes would be a >100 MB HLO constant."""
+    row = _core_row_mask(rows)
+    if b > 1:
+        # image rows satisfy (r - PADR) mod (h + PADR) < h
+        r = jnp.arange(rows)[:, None, None]
+        row = row * ((r - PADR) % (h + PADR) < h).astype(jnp.float32)
+    return row * jnp.asarray(_col_lane_mask(wt, phase))

@@ -1,0 +1,292 @@
+"""Kernel-accelerated TRAINING path for MobileStereoNet v1/v2.
+
+``make_fast_train_step(model, tx, loss_params)`` is a drop-in replacement for
+``train.trainer.make_train_step`` whose RefineNet cascades -- ~70% of the
+XLA train step's 321 ms at the reference config (batch 4, 480x640, bf16) --
+run on the differentiable fused Pallas conv
+(:func:`kernels.train_conv.flat_conv3x3`) instead of XLA convolutions.
+Forward AND backward (custom_vjp: dx through the same kernel, dw through
+full-lane folded reductions) use the flat lane-folded layout; BatchNorm,
+ReLU and masking run in XLA between kernels, batched by stacking images
+along flat rows with zero gap rows (``to_flat_batch``).
+
+Semantics match the Flax path (models/stereo_net.py RefineNet; reference
+model/mobile_stereo_net.py:59-87):
+
+* identical parameter tree -- weights are read from the same ``params`` /
+  ``batch_stats`` pytrees the Flax model owns;
+* train-mode BatchNorm with flax statistics (biased batch variance, f32
+  stats, momentum 0.9) and *sequential* running-stat threading where the
+  reference applies one module twice (encoder on left then right);
+* BN bias / affine outputs are re-masked to the true image rows so the flat
+  layout's zero-halo invariant (per-image SAME padding + batch gap rows)
+  survives every epilogue.
+
+The encoder and cost-volume/3D-filter stages stay on the Flax/XLA path for
+now (they are ~25% of the step); a parity test pins the fast step's loss,
+gradients and batch-stats updates to the reference path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
+from realtime_stereo_matcher_tpu.kernels.train_conv import (
+    batch_flat_geometry,
+    batch_image_mask,
+    flat_conv3x3,
+    from_flat_batch,
+    to_flat_batch,
+)
+from realtime_stereo_matcher_tpu.models.stereo_net import (
+    CostFilter3D,
+    FeatureEncoder,
+    MobileStereoNet,
+    MobileStereoNetV2,
+    _full_res_nearest,
+)
+from realtime_stereo_matcher_tpu.models.layers import (
+    BN_EPS,
+    BN_MOMENTUM,
+    normalize_images,
+)
+from realtime_stereo_matcher_tpu.ops import (
+    difference_cost_volume,
+    pad_to_multiple,
+    resize_bilinear,
+    soft_argmin,
+    warp_by_flow_map,
+)
+
+
+def refine_conv_plan(dilations):
+    """Static conv metadata for one RefineNet: (param path, dilation,
+    phase_in, has_bn, res_from) per conv + the head's output phase.
+
+    Mirrors the inference plan's phase bookkeeping
+    (kernels/refine_stack.py:build_refine_plan): split folds (d <= 2) flip
+    the pixel phase, 9-block folds (d > 2) keep it.  ``res_from`` indexes the
+    activation history (history[0] = stack input).
+    """
+    specs = []
+    phase = 0
+    hist_phase = [0]
+
+    def push(path, d, bn, res):
+        nonlocal phase
+        specs.append((path, d, phase, bn, res))
+        phase = 2 - phase if d <= 2 else phase
+        hist_phase.append(phase)
+
+    push(("ConvBN_0",), 1, True, None)
+    for j, d in enumerate(dilations):
+        block_in = len(specs)
+        push((f"ResBlock_{j}", "ConvBN_0"), d, True, None)
+        push((f"ResBlock_{j}", "ConvBN_1"), d, True, block_in)
+        assert hist_phase[block_in] == hist_phase[-1], (j, d)
+    push(("Conv_0",), 1, False, None)
+    return tuple(specs), phase
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _pad_w(w):
+    """(3, 3, Ci, Co) -> (3, 3, 32, 32) zero-padded HWIO weights."""
+    w = jnp.asarray(w, jnp.float32)
+    ci, co = w.shape[2], w.shape[3]
+    return jnp.pad(w, ((0, 0), (0, 0), (0, 32 - ci), (0, 32 - co)))
+
+
+def _bn_relu_mask(yf, bn_p, bn_s, mask, count, train, dtype):
+    """Train/eval BatchNorm + ReLU + image re-mask on a flat activation.
+
+    Stats reduce over true image pixels only (zeros outside contribute
+    nothing to the sums; ``count`` is the true pixel count).  Returns the
+    masked activation and the updated (mean, var) running stats.
+    """
+    c = np.shape(bn_p["scale"])[0]  # true channel count (may be < 32)
+    ym = yf * jnp.asarray(mask, yf.dtype)
+    if train:
+        s = jnp.sum(ym.astype(jnp.float32), axis=(0, 1))        # (128,)
+        s2 = jnp.sum(jnp.square(ym.astype(jnp.float32)), axis=(0, 1))
+        s = s.reshape(4, 32).sum(0)[:c]
+        s2 = s2.reshape(4, 32).sum(0)[:c]
+        mu = s / count
+        var = s2 / count - jnp.square(mu)
+        new_mean = BN_MOMENTUM * jnp.asarray(bn_s["mean"], jnp.float32) \
+            + (1 - BN_MOMENTUM) * mu
+        new_var = BN_MOMENTUM * jnp.asarray(bn_s["var"], jnp.float32) \
+            + (1 - BN_MOMENTUM) * var
+    else:
+        mu = jnp.asarray(bn_s["mean"], jnp.float32)
+        var = jnp.asarray(bn_s["var"], jnp.float32)
+        new_mean, new_var = mu, var
+
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    scale = jnp.asarray(bn_p["scale"], jnp.float32) * inv
+    bias = jnp.asarray(bn_p["bias"], jnp.float32) - mu * scale
+    scale_l = jnp.tile(jnp.pad(scale, (0, 32 - c)), 4).astype(dtype)
+    bias_l = jnp.tile(jnp.pad(bias, (0, 32 - c)), 4).astype(dtype)
+    out = jnp.maximum(ym.astype(dtype) * scale_l + bias_l, 0)
+    out = out * jnp.asarray(mask, dtype)
+    return out, (new_mean, new_var)
+
+
+def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
+                     dilations=(1, 2, 4, 8, 1, 1), warp_guidance=False,
+                     train=True, dtype=jnp.bfloat16):
+    """RefineNet forward on the differentiable flat kernels.
+
+    ``disp`` (B, h, w, 1) float32 -> (B, 2h, 2w, 1) float32, plus the
+    RefineNet's batch-stats update subtree.
+    """
+    b = disp.shape[0]
+    h2, w2 = disp.shape[1] * 2, disp.shape[2] * 2
+    disp = resize_bilinear(disp.astype(jnp.float32), (h2, w2)) * 2.0
+
+    feats = [disp]
+    if l_guide.shape[1:3] != (h2, w2):
+        l_guide = resize_bilinear(l_guide, (h2, w2))
+    feats.append(l_guide)
+    if r_guide is not None:
+        if r_guide.shape[1:3] != (h2, w2):
+            r_guide = resize_bilinear(r_guide, (h2, w2))
+        if warp_guidance:
+            r_guide = warp_by_flow_map(r_guide, disp)
+        feats.append(r_guide)
+    x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
+    assert x.shape[-1] <= 32, x.shape
+
+    specs, final_phase = refine_conv_plan(tuple(dilations))
+    xf = to_flat_batch(x, 32)
+    rows, wt, _ = xf.shape
+    count = jnp.float32(b * h2 * w2)
+    masks = {p: batch_image_mask(rows, wt, b, h2, p) for p in (0, 2)}
+
+    history = [xf]
+    bn_updates = {}
+    for path, d, phase_in, has_bn, res in specs:
+        sub_p = _get(rn_params, path)
+        if has_bn:
+            w = _pad_w(sub_p["Conv_0"]["kernel"])
+        else:
+            w = _pad_w(sub_p["kernel"])
+        yf = flat_conv3x3(history[-1], w, d, phase_in)
+        phase_out = 2 - phase_in if d <= 2 else phase_in
+        if has_bn:
+            yf, upd = _bn_relu_mask(
+                yf, sub_p["BatchNorm_0"], _get(rn_stats, path)["BatchNorm_0"],
+                masks[phase_out], count, train, dtype)
+            node = bn_updates
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = {"BatchNorm_0": {"mean": upd[0], "var": upd[1]}}
+        if res is not None:
+            yf = yf + history[res]
+        history.append(yf)
+
+    head_p = rn_params["Conv_0"]
+    delta = from_flat_batch(history[-1], b, h2, w2, 1, phase=final_phase)
+    delta = delta.astype(jnp.float32) + jnp.asarray(head_p["bias"],
+                                                    jnp.float32)[0]
+    return jnp.maximum(disp + delta, 0.0), bn_updates
+
+
+def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
+                       train=True):
+    """Full v1/v2 forward with kernel-path refinements.
+
+    Returns (multi_scale predictions, new batch_stats tree) -- the same
+    contract as ``model.apply(..., mutable=["batch_stats"])``.
+    """
+    if isinstance(model, MobileStereoNetV2):
+        warp_guidance = True
+    elif isinstance(model, MobileStereoNet):
+        warp_guidance = False
+    else:
+        raise NotImplementedError(type(model).__name__)
+
+    dtype = model.dtype or jnp.float32
+    down = model.down_factor
+    align = 2 ** down
+    vol_disp = (model.max_disp + 1) // align
+
+    left = normalize_images(left_img, dtype)
+    right = normalize_images(right_img, dtype)
+    left, orig_hw = pad_to_multiple(left, align)
+    right, _ = pad_to_multiple(right, align)
+
+    # encoder: sequential running-stat threading exactly like the Flax model
+    # (one module applied to left then right, stereo_net.py:223-224)
+    encoder = FeatureEncoder(model.hidden_dim, down, dtype=model.dtype)
+    enc_vars = {"params": params["FeatureEncoder_0"],
+                "batch_stats": batch_stats["FeatureEncoder_0"]}
+    lf, upd1 = encoder.apply(enc_vars, left, train, mutable=["batch_stats"])
+    enc_vars = {"params": params["FeatureEncoder_0"],
+                "batch_stats": upd1["batch_stats"]}
+    rf, upd2 = encoder.apply(enc_vars, right, train, mutable=["batch_stats"])
+    enc_stats = upd2["batch_stats"]
+
+    vol = difference_cost_volume(lf, rf, vol_disp)
+    cf = CostFilter3D(model.hidden_dim, dtype=model.dtype)
+    cost, cf_upd = cf.apply(
+        {"params": params["CostFilter3D_0"],
+         "batch_stats": batch_stats["CostFilter3D_0"]},
+        vol, train, mutable=["batch_stats"])
+    x = soft_argmin(cost, axis=1)[..., None].astype(jnp.float32)
+
+    multi_scale = []
+    new_stats = {"FeatureEncoder_0": enc_stats,
+                 "CostFilter3D_0": cf_upd["batch_stats"]}
+    out_hw = left.shape[1:3]
+    for i in range(down):
+        x, rn_upd = refine_net_train(
+            params[f"RefineNet_{i}"], batch_stats[f"RefineNet_{i}"],
+            x, left, right if warp_guidance else None,
+            dilations=tuple(model.refine_dilates),
+            warp_guidance=warp_guidance, train=train, dtype=dtype)
+        new_stats[f"RefineNet_{i}"] = rn_upd
+        multi_scale.append(_full_res_nearest(x, out_hw, orig_hw))
+    return [-1.0 * m for m in multi_scale], new_stats
+
+
+def make_fast_train_step(model, tx, loss_params: dict):
+    """Kernel-path (state, batch) -> (state, metrics) step; same contract as
+    train.trainer.make_train_step."""
+    import optax
+
+    from realtime_stereo_matcher_tpu.train.loss import (
+        flow_map_metrics,
+        sequence_loss,
+    )
+
+    loss_gamma = float(loss_params.get("loss_gamma", 0.9))
+    max_flow = float(loss_params.get("max_flow_magnitude", 700))
+
+    def train_step(state, img1, img2, flow, valid):
+        def loss_fn(prms):
+            preds, new_bs = fast_train_forward(
+                model, prms, state.batch_stats, img1, img2, train=True)
+            loss = sequence_loss(preds, flow, valid, loss_gamma=loss_gamma,
+                                 max_flow_magnitude=max_flow)
+            return loss, (preds, new_bs)
+
+        (loss, (preds, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = flow_map_metrics(flow, preds[-1], valid)
+        metrics["live_loss"] = loss
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bs,
+                             opt_state=new_opt_state), metrics
+
+    return train_step

@@ -1,0 +1,185 @@
+"""Kernel-path training (models/fast_train.py) vs the Flax/XLA reference path.
+
+All in float32 on the CPU interpret backend; shapes chosen so every refine
+level satisfies the flat-layout width constraint (W % 128 == 0 for
+down_factor 3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_stereo_matcher_tpu.config import load_config
+from realtime_stereo_matcher_tpu.models import build_model
+from realtime_stereo_matcher_tpu.models.fast_train import (
+    fast_train_forward,
+    make_fast_train_step,
+)
+
+B, H, W = 2, 32, 128
+
+
+def _setup(mtype="MobileStereoNet", params=None):
+    model = build_model({"type": mtype, "parameters": params or {}})
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    right = jnp.asarray(
+        np.roll(np.asarray(left), -2, axis=2).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left[:1], right[:1],
+                           train=True)
+    return model, variables, left, right
+
+
+def _tree_close(a, b, rtol=1e-4, atol=1e-4, path=""):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb), (len(la), len(lb))
+    for (kp, xa), xb in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"{path}{jax.tree_util.keystr(kp)}")
+
+
+@pytest.mark.parametrize("mtype,params", [
+    ("MobileStereoNet", {}),
+    ("MobileStereoNetV2", {"down_factor": 3, "max_disp": 192,
+                           "refine_dim": 7, "hidden_dim": 32,
+                           "refine_dilates": [1, 2, 4, 8, 1, 1]}),
+])
+def test_fast_forward_matches_flax(mtype, params):
+    model, variables, left, right = _setup(mtype, params)
+
+    ref_preds, ref_upd = model.apply(variables, left, right, train=True,
+                                     mutable=["batch_stats"])
+    fast_preds, fast_bs = fast_train_forward(
+        model, variables["params"], variables["batch_stats"], left, right,
+        train=True)
+
+    assert len(fast_preds) == len(ref_preds)
+    for fp, rp in zip(fast_preds, ref_preds):
+        assert fp.shape == rp.shape
+        np.testing.assert_allclose(np.asarray(fp), np.asarray(rp),
+                                   rtol=1e-3, atol=2e-3)
+    _tree_close(fast_bs, ref_upd["batch_stats"], rtol=1e-4, atol=1e-4)
+
+
+def _assert_within_noise_floor(gf, gr, gr_perm, slack=6.0, eps=1e-4):
+    """Assert |fast - ref| per leaf is within ``slack`` x the reference
+    path's own fp-noise floor, measured by re-running the reference with a
+    permuted batch (mathematically the identity, different accumulation
+    order).  Guards structure while staying robust to benign reordering."""
+    import jax.tree_util as jtu
+
+    for (kp, a), b, c in zip(jtu.tree_leaves_with_path(gf),
+                             jtu.tree_leaves(gr), jtu.tree_leaves(gr_perm)):
+        diff = float(jnp.max(jnp.abs(a - b)))
+        floor = float(jnp.max(jnp.abs(b - c)))
+        scale = float(jnp.max(jnp.abs(b)))
+        limit = max(slack * floor, eps * (scale + 1.0))
+        assert diff <= limit, (jtu.keystr(kp), diff, floor, scale)
+
+
+def test_fast_train_step_matches_reference_step():
+    from realtime_stereo_matcher_tpu.train.loss import sequence_loss
+
+    model, variables, left, right = _setup()
+    flow = jnp.full((B, H, W, 1), -2.0, jnp.float32)
+    valid = jnp.ones((B, H, W), jnp.float32)
+
+    def loss_ref(prms, l, r, fl, vd):
+        preds, _ = model.apply(
+            {"params": prms, "batch_stats": variables["batch_stats"]},
+            l, r, train=True, mutable=["batch_stats"])
+        return sequence_loss(preds, fl, vd, loss_gamma=0.9,
+                             max_flow_magnitude=700)
+
+    def loss_fast(prms, l, r, fl, vd):
+        preds, _ = fast_train_forward(
+            model, prms, variables["batch_stats"], l, r, train=True)
+        return sequence_loss(preds, fl, vd, loss_gamma=0.9,
+                             max_flow_magnitude=700)
+
+    lr_, gr = jax.value_and_grad(loss_ref)(
+        variables["params"], left, right, flow, valid)
+    gr_perm = jax.grad(loss_ref)(
+        variables["params"], left[::-1], right[::-1], flow[::-1], valid[::-1])
+    lf_, gf = jax.value_and_grad(loss_fast)(
+        variables["params"], left, right, flow, valid)
+    np.testing.assert_allclose(float(lf_), float(lr_), rtol=1e-4)
+    _assert_within_noise_floor(gf, gr, gr_perm)
+
+
+def test_single_level_grad_parity_tight():
+    """One refine level (v2, down_factor=1): grads match to fp tolerance --
+    catches structural bugs (phases, residual indices, edge handling) that
+    the loose full-model tolerance could mask."""
+    params = {"down_factor": 1, "max_disp": 32, "refine_dim": 7,
+              "hidden_dim": 16, "refine_dilates": [1, 2, 4, 8, 1, 1]}
+    model = build_model({"type": "MobileStereoNetV2", "parameters": params})
+    rng = np.random.default_rng(3)
+    left = jnp.asarray(rng.uniform(0, 255, (2, 16, 64, 3)).astype(np.float32))
+    right = jnp.asarray(np.roll(np.asarray(left), -2, axis=2))
+    variables = model.init(jax.random.PRNGKey(0), left[:1], right[:1],
+                           train=True)
+    cot = jnp.asarray(rng.standard_normal((2, 16, 64, 1)).astype(np.float32))
+
+    def loss_ref(prms, l, r, ct):
+        preds, _ = model.apply(
+            {"params": prms, "batch_stats": variables["batch_stats"]},
+            l, r, train=True, mutable=["batch_stats"])
+        return jnp.sum(preds[-1] * ct)
+
+    def loss_fast(prms, l, r, ct):
+        preds, _ = fast_train_forward(
+            model, prms, variables["batch_stats"], l, r, train=True)
+        return jnp.sum(preds[-1] * ct)
+
+    lr_, gr = jax.value_and_grad(loss_ref)(
+        variables["params"], left, right, cot)
+    gr_perm = jax.grad(loss_ref)(
+        variables["params"], left[::-1], right[::-1], cot[::-1])
+    lf_, gf = jax.value_and_grad(loss_fast)(
+        variables["params"], left, right, cot)
+    np.testing.assert_allclose(float(lf_), float(lr_), rtol=1e-4)
+    _assert_within_noise_floor(gf, gr, gr_perm)
+
+
+def test_fast_train_step_runs_and_descends():
+    import optax
+
+    from realtime_stereo_matcher_tpu.config import load_config
+    from realtime_stereo_matcher_tpu.train.trainer import (
+        create_train_state,
+    )
+
+    cfg = load_config({
+        "name": "T", "path": "/tmp/rsm_fast_train_test",
+        "train": {"batch_size": B, "restore_checkpoint": "",
+                  "save_checkpoint_frequency": 10 ** 9, "datasets": [],
+                  "learn_rate": 1e-3, "num_of_steps": 10,
+                  "weight_decay": 1e-5,
+                  "loss": {"type": "SequenceLoss",
+                           "parameters": {"loss_gamma": 0.9,
+                                          "max_flow_magnitude": 700}}},
+        "model": {"type": "MobileStereoNet", "parameters": {}},
+        "data": {"image_size": [H, W], "spatial_scale": [-0.2, 0.4],
+                 "do_flip": False, "no_y_jitter": False},
+    })
+    model, tx, _, state = create_train_state(cfg)
+    step = make_fast_train_step(model, tx,
+                                cfg.train.loss.parameters)
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    img2 = jnp.asarray(np.roll(np.asarray(img1), -2, axis=2))
+    flow = jnp.full((B, H, W, 1), -2.0, jnp.float32)
+    valid = jnp.ones((B, H, W), jnp.float32)
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, img1, img2, flow, valid)
+        losses.append(float(metrics["live_loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 3

@@ -1,0 +1,145 @@
+"""flat_conv3x3 (training-path custom_vjp conv) vs lax.conv oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
+from realtime_stereo_matcher_tpu.kernels.train_conv import (
+    batch_image_mask,
+    flat_conv3x3,
+    from_flat_batch,
+    to_flat_batch,
+)
+
+
+def conv_ref(x, w, dilation=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(dilation, dilation)] * 2,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _mk(rng, b=1, h=16, w=32, c=32):
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    wk = (rng.standard_normal((3, 3, c, c)) * 0.2).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(wk)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4, 8])
+def test_forward_matches_lax_conv(rng, dilation):
+    x, wk = _mk(rng)
+    xf = to_flat_batch(x)
+    yf = flat_conv3x3(xf, wk, dilation, 0)
+    _, _, _, phase = __import__(
+        "realtime_stereo_matcher_tpu.kernels.train_conv",
+        fromlist=["_fold_selector"])._fold_selector(dilation, 0)
+    y = from_flat_batch(yf, 1, 16, 32, 32, phase=phase)
+    want = conv_ref(x, wk, dilation)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4])
+def test_grads_match_lax_conv(rng, dilation):
+    from realtime_stereo_matcher_tpu.kernels.train_conv import _fold_selector
+
+    x, wk = _mk(rng, h=16, w=32)
+    _, _, _, phase = _fold_selector(dilation, 0)
+    cot = jnp.asarray(rng.standard_normal((1, 16, 32, 32)).astype(np.float32))
+
+    def loss_fast(x, wk):
+        xf = to_flat_batch(x)
+        yf = flat_conv3x3(xf, wk, dilation, 0)
+        y = from_flat_batch(yf, 1, 16, 32, 32, phase=phase)
+        return jnp.sum(y * cot)
+
+    def loss_ref(x, wk):
+        return jnp.sum(conv_ref(x, wk, dilation) * cot)
+
+    gx_f, gw_f = jax.grad(loss_fast, argnums=(0, 1))(x, wk)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_phase2_roundtrip_and_grads(rng):
+    """Chain two split convs (phase 0 -> 2 -> 0) and check against oracle."""
+    x, w1 = _mk(rng, h=8, w=32)
+    w2 = jnp.asarray((rng.standard_normal((3, 3, 32, 32)) * 0.2)
+                     .astype(np.float32))
+
+    def fast(x, w1, w2):
+        xf = to_flat_batch(x)
+        y1 = flat_conv3x3(xf, w1, 1, 0)     # phase 0 -> 2
+        y2 = flat_conv3x3(y1, w2, 1, 2)     # phase 2 -> 0
+        return from_flat_batch(y2, 1, 8, 32, 32, phase=0)
+
+    def ref(x, w1, w2):
+        return conv_ref(conv_ref(x, w1), w2)
+
+    np.testing.assert_allclose(np.asarray(fast(x, w1, w2)),
+                               np.asarray(ref(x, w1, w2)),
+                               rtol=1e-4, atol=1e-4)
+
+    def lf(x, w1, w2):
+        return (fast(x, w1, w2) ** 2).sum()
+
+    def lr(x, w1, w2):
+        return (ref(x, w1, w2) ** 2).sum()
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(x, w1, w2)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_batched_flat_layout_roundtrip_and_conv(rng):
+    """Batch-4 row-stacked layout: roundtrip + per-image SAME conv parity.
+
+    The conv output is read back only at image rows (from_flat_batch), which
+    is how the assembly consumes it; gap rows are re-masked by the caller.
+    """
+    x, wk = _mk(rng, b=4, h=8, w=32)
+    xf = to_flat_batch(x)
+    np.testing.assert_array_equal(
+        np.asarray(from_flat_batch(xf, 4, 8, 32, 32)), np.asarray(x))
+
+    yf = flat_conv3x3(xf, wk, 1, 0)
+    y = from_flat_batch(yf, 4, 8, 32, 32, phase=2)
+    want = conv_ref(x, wk, 1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradient parity through the batched layout
+    cot = jnp.asarray(rng.standard_normal((4, 8, 32, 32)).astype(np.float32))
+
+    def loss_fast(x, wk):
+        yf = flat_conv3x3(to_flat_batch(x), wk, 1, 0)
+        return jnp.sum(from_flat_batch(yf, 4, 8, 32, 32, phase=2) * cot)
+
+    def loss_ref(x, wk):
+        return jnp.sum(conv_ref(x, wk, 1) * cot)
+
+    gx_f, gw_f = jax.grad(loss_fast, argnums=(0, 1))(x, wk)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_batch_image_mask_geometry():
+    rows = 2 * k3.PADR + 2 * 8 + k3.PADR  # b=2, h=8
+    xf = jnp.ones((rows, 24, 128))
+    m = batch_image_mask(rows, 24, 2, 8, 0)
+    # image rows kept, gap + halo rows zeroed
+    m_np = np.asarray(m)
+    assert m_np[k3.PADR, k3.PADC_TILES, 0] == 1.0
+    assert m_np[k3.PADR + 8, k3.PADC_TILES, 0] == 0.0          # gap row
+    assert m_np[0].max() == 0.0 and m_np[-1].max() == 0.0      # halos
+    assert m_np[:, 0].max() == 0.0                             # pad cols
