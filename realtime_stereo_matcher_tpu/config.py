@@ -35,6 +35,10 @@ class TrainConfig:
     num_of_steps: int = 100000
     weight_decay: float = 1e-5
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    # "auto" | "on" | "off": train RefineNet cascades on the differentiable
+    # fused Pallas conv path (models/fast_train.py) when the model/mesh/crop
+    # support it -- 2.2x faster than the XLA step on v5e at the v1 config
+    fast_kernels: str = "auto"
 
 
 @dataclasses.dataclass

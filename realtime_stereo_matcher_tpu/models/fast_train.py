@@ -290,3 +290,27 @@ def make_fast_train_step(model, tx, loss_params: dict):
                              opt_state=new_opt_state), metrics
 
     return train_step
+
+
+def fast_step_supported(model, exp_config, mesh=None) -> bool:
+    """Whether the kernel train path applies: v1/v2 model, single-device
+    mesh (the fast path is not shard_map'd yet), and a crop size whose every
+    refine level satisfies the flat-layout width constraint."""
+    if not isinstance(model, (MobileStereoNet, MobileStereoNetV2)):
+        return False
+    if mesh is not None and mesh.size != 1:
+        return False
+    try:
+        h, w = exp_config.data.image_size
+    except (AttributeError, TypeError, ValueError):
+        return False
+    down = model.down_factor
+    if w % (32 << (down - 1)) or h % (2 ** down):
+        return False
+    b = exp_config.train.batch_size
+    for i in range(down):
+        h2 = h >> (down - 1 - i)
+        core = b * h2 + (b - 1) * k3.PADR
+        if not any(core % t == 0 for t in range(1, 25)):
+            return False
+    return True

@@ -159,8 +159,27 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                                        num_shards=num_shards)
 
     loss_params = exp_config.train.loss.parameters
-    step_fn = jax.jit(make_train_step(model, tx, loss_params),
-                      donate_argnums=(0,))
+    fast_mode = getattr(exp_config.train, "fast_kernels", "auto")
+    use_fast = False
+    if fast_mode in ("auto", "on"):
+        from realtime_stereo_matcher_tpu.models.fast_train import (
+            fast_step_supported,
+            make_fast_train_step,
+        )
+
+        use_fast = fast_step_supported(model, exp_config, mesh)
+        if fast_mode == "on" and not use_fast:
+            raise ValueError(
+                "train.fast_kernels='on' but the kernel train path does not "
+                "support this model/mesh/crop (see fast_step_supported)")
+    if use_fast:
+        logging.info("Training on the fused Pallas kernel path "
+                     "(models/fast_train.py).")
+        step_fn = jax.jit(make_fast_train_step(model, tx, loss_params),
+                          donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(make_train_step(model, tx, loss_params),
+                          donate_argnums=(0,))
 
     # replicate state over the mesh; batches are sharded over 'data'
     state = jax.device_put(state, replicated(mesh))

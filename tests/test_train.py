@@ -136,3 +136,40 @@ def test_train_step_v4_descends(tmp_path, rng):
         losses.append(float(metrics["live_loss"]))
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_fast_kernels_auto_selection(tmp_path):
+    """fast_step_supported gates the kernel train path correctly."""
+    from realtime_stereo_matcher_tpu.models import build_model
+    from realtime_stereo_matcher_tpu.models.fast_train import (
+        fast_step_supported,
+    )
+
+    cfg = _tiny_config(tmp_path)          # 32x48 crop: W % 128 != 0
+    model = build_model(cfg.model.as_dict())
+    assert not fast_step_supported(model, cfg, None)
+
+    cfg2 = load_config({
+        "name": "T", "path": str(tmp_path),
+        "train": {"batch_size": 2, "restore_checkpoint": "",
+                  "save_checkpoint_frequency": 1000, "datasets": [],
+                  "learn_rate": 1e-3, "num_of_steps": 4,
+                  "weight_decay": 1e-5,
+                  "loss": {"type": "SequenceLoss",
+                           "parameters": {"loss_gamma": 0.9,
+                                          "max_flow_magnitude": 700}}},
+        "model": {"type": "MobileStereoNet", "parameters": {}},
+        "data": {"image_size": [32, 128], "spatial_scale": [-0.2, 0.4],
+                 "do_flip": False, "no_y_jitter": False},
+    })
+    model2 = build_model(cfg2.model.as_dict())
+    assert fast_step_supported(model2, cfg2, None)
+
+    # V4 never takes the kernel train path
+    v4 = build_model({"type": "MobileStereoNetV4", "parameters": {}})
+    assert not fast_step_supported(v4, cfg2, None)
+
+    # multi-device meshes fall back to the XLA path
+    mesh8 = make_mesh()
+    if mesh8.size > 1:
+        assert not fast_step_supported(model2, cfg2, mesh8)
