@@ -113,19 +113,31 @@ def _identity_sb():
     return jnp.ones((LANES,), jnp.float32), jnp.zeros((LANES,), jnp.float32)
 
 
+def flat_tiles(w: int) -> tuple[int, int]:
+    """Image tiles + padded flat width (in tiles) for an image of W pixels.
+
+    ``tiles = W / 4`` need not be 8-aligned: the canvas is padded up to the
+    next 8-aligned width with >= 8 spare tiles, and *pixel-level* image masks
+    (not the kernel's structural tile mask) define validity.  For 8-aligned
+    tiles this reproduces ``k3.to_flat``'s layout exactly.
+    """
+    assert w % F == 0, w
+    tiles = w // F
+    wf = -(-(tiles + SPARE) // 8) * 8
+    return tiles, wf
+
+
 @functools.lru_cache(maxsize=None)
-def _col_lane_mask(wt: int, phase: int) -> np.ndarray:
-    """(1, wt, 128) numpy 0/1 mask of image canvas tiles (+ phase spill
-    lanes): small enough to embed as a literal."""
-    wc = wt - 2 * PADC
-    img_tiles = wc - SPARE
+def _col_lane_mask(wt: int, w_px: int, phase: int) -> np.ndarray:
+    """(1, wt, 128) numpy 0/1 mask of true image *pixels* at a given phase:
+    flat pixel position p = (tile - PADC) * 4 + lane//32 is an image pixel
+    iff ``phase <= p < w_px + phase``.  Small enough to embed as a literal."""
     m = np.zeros((1, wt, LANES), np.float32)
-    if phase == 0:
-        m[:, PADC:PADC + img_tiles, :] = 1.0
-    else:
-        m[:, PADC:PADC + img_tiles + 1, :] = 1.0
-        m[:, PADC, :64] = 0.0                      # px {-2,-1} slots
-        m[:, PADC + img_tiles, 64:] = 0.0          # px {W, W+1} slots
+    for ti in range(PADC, wt - PADC):
+        for slot in range(F):
+            p = (ti - PADC) * F + slot
+            if phase <= p < w_px + phase:
+                m[0, ti, slot * 32:(slot + 1) * 32] = 1.0
     return m
 
 
@@ -137,10 +149,13 @@ def _core_row_mask(rows: int) -> jnp.ndarray:
 
 
 def struct_mask_expr(rows: int, wt: int, phase: int) -> jnp.ndarray:
-    """(rows, wt, 128) jnp mask of positions the conv kernel treats as image
-    canvas at a given pixel phase.  Used to re-zero cotangents/epilogues so
-    the zero-halo invariant of the flat layout survives non-conv ops."""
-    return _core_row_mask(rows) * jnp.asarray(_col_lane_mask(wt, phase))
+    """(rows, wt, 128) jnp mask of core rows x canvas columns.  Defensive
+    re-zeroing of cotangents in the conv vjp; pixel-exact image masking is
+    the consumer's job (``batch_image_mask``)."""
+    del phase
+    col = np.zeros((1, wt, LANES), np.float32)
+    col[:, PADC:wt - PADC, :] = 1.0
+    return _core_row_mask(rows) * jnp.asarray(col)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -225,18 +240,18 @@ def batch_flat_geometry(b: int, h: int):
 
 def to_flat_batch(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
     """(B, H, W, C) -> flat (rows, WT, 128) with PADR zero gap rows between
-    images (and the usual top/bottom halos + column pads)."""
+    images (and the usual top/bottom halos + column pads).  W needs only be
+    a multiple of 4 (see :func:`flat_tiles`)."""
     b, h, w, c = x.shape
-    if b == 1:
-        return k3.to_flat(x, c_pad)
     f = LANES // c_pad
-    assert w % f == 0 and (w // f) % 8 == 0, (w, f)
+    assert f == F, (c_pad,)
+    tiles, wf = flat_tiles(w)
     if c < c_pad:
         x = jnp.pad(x, ((0, 0),) * 3 + ((0, c_pad - c),))
-    xt = x.reshape(b, h, w // f, LANES)
+    xt = x.reshape(b, h, tiles, LANES)
     xt = jnp.pad(xt, ((0, 0), (0, PADR), (0, 0), (0, 0)))  # gap below each
-    xt = xt.reshape(b * (h + PADR), w // f, LANES)
-    xt = jnp.pad(xt, ((PADR, 0), (PADC, SPARE + PADC), (0, 0)))
+    xt = xt.reshape(b * (h + PADR), tiles, LANES)
+    xt = jnp.pad(xt, ((PADR, 0), (PADC, wf - tiles + PADC), (0, 0)))
     # bottom: PADR gap of the last image already appended -> total halo ok
     return xt
 
@@ -245,7 +260,7 @@ def from_flat_batch(xf: jnp.ndarray, b: int, h: int, w: int, c: int,
                     c_pad: int = 32, phase: int = 0) -> jnp.ndarray:
     """Inverse of :func:`to_flat_batch` -> (B, H, W, C)."""
     f = LANES // c_pad
-    tiles = w // f + (1 if phase else 0)
+    tiles = -(-(phase + w) // f)
     outs = []
     _, starts = batch_flat_geometry(b, h)
     for s in starts:
@@ -256,14 +271,15 @@ def from_flat_batch(xf: jnp.ndarray, b: int, h: int, w: int, c: int,
     return jnp.concatenate(outs, axis=0)
 
 
-def batch_image_mask(rows: int, wt: int, b: int, h: int, phase: int):
+def batch_image_mask(rows: int, wt: int, b: int, h: int, w_px: int,
+                     phase: int):
     """(rows, wt, 128) jnp 0/1 mask of true image positions in a batched
-    flat tensor: structural mask minus the inter-image gap rows.  Built from
-    iota expressions (a fused broadcast at run time) -- a literal mask at
-    full-resolution shapes would be a >100 MB HLO constant."""
+    flat tensor: image pixels (pixel-exact in W) minus inter-image gap rows.
+    Row masks are iota expressions (a fused broadcast at run time) -- a
+    literal mask at full-resolution shapes would be a >100 MB HLO constant."""
     row = _core_row_mask(rows)
     if b > 1:
         # image rows satisfy (r - PADR) mod (h + PADR) < h
         r = jnp.arange(rows)[:, None, None]
         row = row * ((r - PADR) % (h + PADR) < h).astype(jnp.float32)
-    return row * jnp.asarray(_col_lane_mask(wt, phase))
+    return row * jnp.asarray(_col_lane_mask(wt, w_px, phase))

@@ -112,10 +112,11 @@ def _bn_relu_mask(yf, bn_p, bn_s, mask, count, train, dtype):
     masked activation and the updated (mean, var) running stats.
     """
     c = np.shape(bn_p["scale"])[0]  # true channel count (may be < 32)
+    red = tuple(range(yf.ndim - 1))  # all but the lane axis
     ym = yf * jnp.asarray(mask, yf.dtype)
     if train:
-        s = jnp.sum(ym.astype(jnp.float32), axis=(0, 1))        # (128,)
-        s2 = jnp.sum(jnp.square(ym.astype(jnp.float32)), axis=(0, 1))
+        s = jnp.sum(ym.astype(jnp.float32), axis=red)           # (128,)
+        s2 = jnp.sum(jnp.square(ym.astype(jnp.float32)), axis=red)
         s = s.reshape(4, 32).sum(0)[:c]
         s2 = s2.reshape(4, 32).sum(0)[:c]
         mu = s / count
@@ -137,6 +138,123 @@ def _bn_relu_mask(yf, bn_p, bn_s, mask, count, train, dtype):
     out = jnp.maximum(ym.astype(dtype) * scale_l + bias_l, 0)
     out = out * jnp.asarray(mask, dtype)
     return out, (new_mean, new_var)
+
+
+def _pad_w3(w):
+    """(3, 3, 3, Ci, Co) -> (3, 3, 3, 32, 32) zero-padded DHWIO weights."""
+    w = jnp.asarray(w, jnp.float32)
+    ci, co = w.shape[3], w.shape[4]
+    return jnp.pad(w, ((0, 0),) * 3 + ((0, 32 - ci), (0, 32 - co)))
+
+
+def cost_filter_train(cf_params, cf_stats, vol, *, train=True,
+                      dtype=jnp.bfloat16):
+    """CostFilter3D forward (models/stereo_net.py:52-67) on the
+    differentiable flat conv3d kernels.
+
+    ``vol`` (B, D, h, w, C) difference volume -> (B, D, h, w) filtered cost
+    plus the filter's batch-stats update subtree.
+    """
+    from realtime_stereo_matcher_tpu.kernels.train_conv3d import (
+        batch_slab_mask,
+        flat_conv3d,
+        vol_from_flat_batch,
+        vol_to_flat_batch,
+    )
+
+    b, dvol, h, w, c = vol.shape
+    xf3 = vol_to_flat_batch(vol.astype(dtype))
+    slabs, rows, wt, _ = xf3.shape
+    count = jnp.float32(b * dvol * h * w)
+    masks = {p: batch_slab_mask(slabs, rows, wt, b, dvol, w, p)
+             for p in (0, 2)}
+
+    phase = 0
+    upd = {}
+    for i in range(4):
+        sub_p = cf_params[f"ConvBN_{i}"]
+        yf3 = flat_conv3d(xf3, _pad_w3(sub_p["Conv_0"]["kernel"]), phase)
+        phase = 2 - phase
+        xf3, u = _bn_relu_mask(
+            yf3, sub_p["BatchNorm_0"],
+            cf_stats[f"ConvBN_{i}"]["BatchNorm_0"],
+            masks[phase], count, train, dtype)
+        upd[f"ConvBN_{i}"] = {"BatchNorm_0": {"mean": u[0], "var": u[1]}}
+
+    head = cf_params["Conv_0"]
+    yf3 = flat_conv3d(xf3, _pad_w3(head["kernel"]), phase)
+    phase = 2 - phase
+    cost = vol_from_flat_batch(yf3, b, dvol, h, w, 1, phase=phase)[..., 0]
+    return cost + jnp.asarray(head["bias"], cost.dtype)[0], upd
+
+
+def _bn_relu_nhwc(y, bn_p, bn_s, train, dtype):
+    """flax-semantics BatchNorm + ReLU on an NHWC tensor (XLA path)."""
+    if train:
+        yf32 = y.astype(jnp.float32)
+        mu = jnp.mean(yf32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(yf32), axis=(0, 1, 2)) - jnp.square(mu)
+        new_mean = BN_MOMENTUM * jnp.asarray(bn_s["mean"], jnp.float32) \
+            + (1 - BN_MOMENTUM) * mu
+        new_var = BN_MOMENTUM * jnp.asarray(bn_s["var"], jnp.float32) \
+            + (1 - BN_MOMENTUM) * var
+    else:
+        mu = jnp.asarray(bn_s["mean"], jnp.float32)
+        var = jnp.asarray(bn_s["var"], jnp.float32)
+        new_mean, new_var = mu, var
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    scale = (jnp.asarray(bn_p["scale"], jnp.float32) * inv).astype(dtype)
+    bias = (jnp.asarray(bn_p["bias"], jnp.float32)
+            - mu * jnp.asarray(bn_p["scale"], jnp.float32) * inv).astype(dtype)
+    out = jnp.maximum(y.astype(dtype) * scale + bias, 0)
+    return out, (new_mean, new_var)
+
+
+def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
+                  dtype=jnp.bfloat16):
+    """FeatureEncoder forward (models/stereo_net.py:71-88) with ResBlock
+    convs on the differentiable flat kernels; the stride-2 convs and head
+    stay in XLA.  Returns (features, batch-stats update subtree)."""
+    stats_upd = {}
+    for i in range(down):
+        w = jnp.asarray(enc_params[f"ConvBN_{i}"]["Conv_0"]["kernel"], dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y, upd = _bn_relu_nhwc(
+            y, enc_params[f"ConvBN_{i}"]["BatchNorm_0"],
+            enc_stats[f"ConvBN_{i}"]["BatchNorm_0"], train, dtype)
+        stats_upd[f"ConvBN_{i}"] = {
+            "BatchNorm_0": {"mean": upd[0], "var": upd[1]}}
+
+        b, hh, ww, c = y.shape
+        yf = to_flat_batch(y, 32)
+        rows, wt, _ = yf.shape
+        masks = {p: batch_image_mask(rows, wt, b, hh, ww, p) for p in (0, 2)}
+        count = jnp.float32(b * hh * ww)
+        rb_p = enc_params[f"ResBlock_{i}"]
+        rb_s = enc_stats[f"ResBlock_{i}"]
+        z = yf
+        phase = 0
+        rb_upd = {}
+        for ci in range(2):
+            wk = _pad_w(rb_p[f"ConvBN_{ci}"]["Conv_0"]["kernel"])
+            z = flat_conv3x3(z, wk, 1, phase)
+            phase = 2 - phase
+            z, u = _bn_relu_mask(
+                z, rb_p[f"ConvBN_{ci}"]["BatchNorm_0"],
+                rb_s[f"ConvBN_{ci}"]["BatchNorm_0"],
+                masks[phase], count, train, dtype)
+            rb_upd[f"ConvBN_{ci}"] = {
+                "BatchNorm_0": {"mean": u[0], "var": u[1]}}
+        stats_upd[f"ResBlock_{i}"] = rb_upd
+        x = from_flat_batch(z + yf, b, hh, ww, c)  # residual, both phase 0
+
+    head = enc_params["Conv_0"]
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(head["kernel"], dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x + jnp.asarray(head["bias"], dtype), stats_upd
 
 
 def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
@@ -168,7 +286,7 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
     xf = to_flat_batch(x, 32)
     rows, wt, _ = xf.shape
     count = jnp.float32(b * h2 * w2)
-    masks = {p: batch_image_mask(rows, wt, b, h2, p) for p in (0, 2)}
+    masks = {p: batch_image_mask(rows, wt, b, h2, w2, p) for p in (0, 2)}
 
     history = [xf]
     bn_updates = {}
@@ -224,27 +342,23 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
     right, _ = pad_to_multiple(right, align)
 
     # encoder: sequential running-stat threading exactly like the Flax model
-    # (one module applied to left then right, stereo_net.py:223-224)
-    encoder = FeatureEncoder(model.hidden_dim, down, dtype=model.dtype)
-    enc_vars = {"params": params["FeatureEncoder_0"],
-                "batch_stats": batch_stats["FeatureEncoder_0"]}
-    lf, upd1 = encoder.apply(enc_vars, left, train, mutable=["batch_stats"])
-    enc_vars = {"params": params["FeatureEncoder_0"],
-                "batch_stats": upd1["batch_stats"]}
-    rf, upd2 = encoder.apply(enc_vars, right, train, mutable=["batch_stats"])
-    enc_stats = upd2["batch_stats"]
+    # (one module applied to left then right, stereo_net.py:223-224);
+    # ResBlock convs run on the flat kernels (encoder_train)
+    lf, upd1 = encoder_train(params["FeatureEncoder_0"],
+                             batch_stats["FeatureEncoder_0"], left,
+                             down=down, train=train, dtype=dtype)
+    rf, enc_stats = encoder_train(params["FeatureEncoder_0"], upd1, right,
+                                  down=down, train=train, dtype=dtype)
 
     vol = difference_cost_volume(lf, rf, vol_disp)
-    cf = CostFilter3D(model.hidden_dim, dtype=model.dtype)
-    cost, cf_upd = cf.apply(
-        {"params": params["CostFilter3D_0"],
-         "batch_stats": batch_stats["CostFilter3D_0"]},
-        vol, train, mutable=["batch_stats"])
+    cost, cf_upd = cost_filter_train(
+        params["CostFilter3D_0"], batch_stats["CostFilter3D_0"], vol,
+        train=train, dtype=dtype)
     x = soft_argmin(cost, axis=1)[..., None].astype(jnp.float32)
 
     multi_scale = []
     new_stats = {"FeatureEncoder_0": enc_stats,
-                 "CostFilter3D_0": cf_upd["batch_stats"]}
+                 "CostFilter3D_0": cf_upd}
     out_hw = left.shape[1:3]
     for i in range(down):
         x, rn_upd = refine_net_train(
@@ -305,7 +419,8 @@ def fast_step_supported(model, exp_config, mesh=None) -> bool:
     except (AttributeError, TypeError, ValueError):
         return False
     down = model.down_factor
-    if w % (32 << (down - 1)) or h % (2 ** down):
+    # every refine level's width must be a multiple of the 4-px lane fold
+    if w % (4 << (down - 1)) or h % (2 ** down):
         return False
     b = exp_config.train.batch_size
     for i in range(down):
