@@ -22,9 +22,15 @@ model/mobile_stereo_net.py:59-87):
   layout's zero-halo invariant (per-image SAME padding + batch gap rows)
   survives every epilogue.
 
-The encoder and cost-volume/3D-filter stages stay on the Flax/XLA path for
-now (they are ~25% of the step); a parity test pins the fast step's loss,
-gradients and batch-stats updates to the reference path.
+All conv stages run on the kernels: RefineNet cascades, encoder ResBlocks
+(stride-2 convs and heads stay XLA) and the 5-layer Conv3d cost filter
+(kernels/train_conv3d.py).  Parity tests pin each stage's outputs, grads and
+batch-stats updates to the Flax path.
+
+Data parallelism: ``make_fast_train_step(..., mesh=...)`` wraps the step in
+``shard_map`` over the mesh's ``data`` axis -- per-shard Pallas kernels,
+psum'd gradients, and sync-BN (batch statistics psum over shards, the same
+global-batch semantics the Flax path gets from jit-level batch sharding).
 """
 
 from __future__ import annotations
@@ -104,11 +110,15 @@ def _pad_w(w):
     return jnp.pad(w, ((0, 0), (0, 0), (0, 32 - ci), (0, 32 - co)))
 
 
-def _bn_relu_mask(yf, bn_p, bn_s, mask, count, train, dtype):
+def _bn_relu_mask(yf, bn_p, bn_s, mask, count, train, dtype,
+                  axis_name=None):
     """Train/eval BatchNorm + ReLU + image re-mask on a flat activation.
 
     Stats reduce over true image pixels only (zeros outside contribute
-    nothing to the sums; ``count`` is the true pixel count).  Returns the
+    nothing to the sums; ``count`` is the true pixel count).  With
+    ``axis_name`` (inside shard_map) the stats psum over the axis --
+    sync-BN over the global batch, matching the Flax path under
+    jit-level batch sharding (models/layers.py docstring).  Returns the
     masked activation and the updated (mean, var) running stats.
     """
     c = np.shape(bn_p["scale"])[0]  # true channel count (may be < 32)
@@ -119,6 +129,10 @@ def _bn_relu_mask(yf, bn_p, bn_s, mask, count, train, dtype):
         s2 = jnp.sum(jnp.square(ym.astype(jnp.float32)), axis=red)
         s = s.reshape(4, 32).sum(0)[:c]
         s2 = s2.reshape(4, 32).sum(0)[:c]
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+            count = jax.lax.psum(count, axis_name)
         mu = s / count
         var = s2 / count - jnp.square(mu)
         new_mean = BN_MOMENTUM * jnp.asarray(bn_s["mean"], jnp.float32) \
@@ -148,7 +162,7 @@ def _pad_w3(w):
 
 
 def cost_filter_train(cf_params, cf_stats, vol, *, train=True,
-                      dtype=jnp.bfloat16):
+                      dtype=jnp.bfloat16, axis_name=None):
     """CostFilter3D forward (models/stereo_net.py:52-67) on the
     differentiable flat conv3d kernels.
 
@@ -178,7 +192,7 @@ def cost_filter_train(cf_params, cf_stats, vol, *, train=True,
         xf3, u = _bn_relu_mask(
             yf3, sub_p["BatchNorm_0"],
             cf_stats[f"ConvBN_{i}"]["BatchNorm_0"],
-            masks[phase], count, train, dtype)
+            masks[phase], count, train, dtype, axis_name)
         upd[f"ConvBN_{i}"] = {"BatchNorm_0": {"mean": u[0], "var": u[1]}}
 
     head = cf_params["Conv_0"]
@@ -188,12 +202,17 @@ def cost_filter_train(cf_params, cf_stats, vol, *, train=True,
     return cost + jnp.asarray(head["bias"], cost.dtype)[0], upd
 
 
-def _bn_relu_nhwc(y, bn_p, bn_s, train, dtype):
-    """flax-semantics BatchNorm + ReLU on an NHWC tensor (XLA path)."""
+def _bn_relu_nhwc(y, bn_p, bn_s, train, dtype, axis_name=None):
+    """flax-semantics BatchNorm + ReLU on an NHWC tensor (XLA path);
+    sync-BN over ``axis_name`` when inside shard_map."""
     if train:
         yf32 = y.astype(jnp.float32)
         mu = jnp.mean(yf32, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(yf32), axis=(0, 1, 2)) - jnp.square(mu)
+        m2 = jnp.mean(jnp.square(yf32), axis=(0, 1, 2))
+        if axis_name is not None:
+            mu = jax.lax.pmean(mu, axis_name)
+            m2 = jax.lax.pmean(m2, axis_name)
+        var = m2 - jnp.square(mu)
         new_mean = BN_MOMENTUM * jnp.asarray(bn_s["mean"], jnp.float32) \
             + (1 - BN_MOMENTUM) * mu
         new_var = BN_MOMENTUM * jnp.asarray(bn_s["var"], jnp.float32) \
@@ -211,7 +230,7 @@ def _bn_relu_nhwc(y, bn_p, bn_s, train, dtype):
 
 
 def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, axis_name=None):
     """FeatureEncoder forward (models/stereo_net.py:71-88) with ResBlock
     convs on the differentiable flat kernels; the stride-2 convs and head
     stay in XLA.  Returns (features, batch-stats update subtree)."""
@@ -223,7 +242,8 @@ def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y, upd = _bn_relu_nhwc(
             y, enc_params[f"ConvBN_{i}"]["BatchNorm_0"],
-            enc_stats[f"ConvBN_{i}"]["BatchNorm_0"], train, dtype)
+            enc_stats[f"ConvBN_{i}"]["BatchNorm_0"], train, dtype,
+            axis_name)
         stats_upd[f"ConvBN_{i}"] = {
             "BatchNorm_0": {"mean": upd[0], "var": upd[1]}}
 
@@ -244,7 +264,7 @@ def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
             z, u = _bn_relu_mask(
                 z, rb_p[f"ConvBN_{ci}"]["BatchNorm_0"],
                 rb_s[f"ConvBN_{ci}"]["BatchNorm_0"],
-                masks[phase], count, train, dtype)
+                masks[phase], count, train, dtype, axis_name)
             rb_upd[f"ConvBN_{ci}"] = {
                 "BatchNorm_0": {"mean": u[0], "var": u[1]}}
         stats_upd[f"ResBlock_{i}"] = rb_upd
@@ -259,7 +279,7 @@ def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
 
 def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
                      dilations=(1, 2, 4, 8, 1, 1), warp_guidance=False,
-                     train=True, dtype=jnp.bfloat16):
+                     train=True, dtype=jnp.bfloat16, axis_name=None):
     """RefineNet forward on the differentiable flat kernels.
 
     ``disp`` (B, h, w, 1) float32 -> (B, 2h, 2w, 1) float32, plus the
@@ -301,7 +321,7 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
         if has_bn:
             yf, upd = _bn_relu_mask(
                 yf, sub_p["BatchNorm_0"], _get(rn_stats, path)["BatchNorm_0"],
-                masks[phase_out], count, train, dtype)
+                masks[phase_out], count, train, dtype, axis_name)
             node = bn_updates
             for p in path[:-1]:
                 node = node.setdefault(p, {})
@@ -318,7 +338,7 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
 
 
 def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
-                       train=True):
+                       train=True, axis_name=None):
     """Full v1/v2 forward with kernel-path refinements.
 
     Returns (multi_scale predictions, new batch_stats tree) -- the same
@@ -346,14 +366,16 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
     # ResBlock convs run on the flat kernels (encoder_train)
     lf, upd1 = encoder_train(params["FeatureEncoder_0"],
                              batch_stats["FeatureEncoder_0"], left,
-                             down=down, train=train, dtype=dtype)
+                             down=down, train=train, dtype=dtype,
+                             axis_name=axis_name)
     rf, enc_stats = encoder_train(params["FeatureEncoder_0"], upd1, right,
-                                  down=down, train=train, dtype=dtype)
+                                  down=down, train=train, dtype=dtype,
+                                  axis_name=axis_name)
 
     vol = difference_cost_volume(lf, rf, vol_disp)
     cost, cf_upd = cost_filter_train(
         params["CostFilter3D_0"], batch_stats["CostFilter3D_0"], vol,
-        train=train, dtype=dtype)
+        train=train, dtype=dtype, axis_name=axis_name)
     x = soft_argmin(cost, axis=1)[..., None].astype(jnp.float32)
 
     multi_scale = []
@@ -365,15 +387,22 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
             params[f"RefineNet_{i}"], batch_stats[f"RefineNet_{i}"],
             x, left, right if warp_guidance else None,
             dilations=tuple(model.refine_dilates),
-            warp_guidance=warp_guidance, train=train, dtype=dtype)
+            warp_guidance=warp_guidance, train=train, dtype=dtype,
+            axis_name=axis_name)
         new_stats[f"RefineNet_{i}"] = rn_upd
         multi_scale.append(_full_res_nearest(x, out_hw, orig_hw))
     return [-1.0 * m for m in multi_scale], new_stats
 
 
-def make_fast_train_step(model, tx, loss_params: dict):
+def make_fast_train_step(model, tx, loss_params: dict, mesh=None):
     """Kernel-path (state, batch) -> (state, metrics) step; same contract as
-    train.trainer.make_train_step."""
+    train.trainer.make_train_step.
+
+    With ``mesh`` (size > 1), the step runs under ``shard_map`` over the
+    mesh's ``data`` axis: the batch is sharded, every shard runs the Pallas
+    kernels on its local images, gradients are psum'd, and BatchNorm
+    statistics / the masked loss mean reduce over the global batch.
+    """
     import optax
 
     from realtime_stereo_matcher_tpu.train.loss import (
@@ -383,37 +412,59 @@ def make_fast_train_step(model, tx, loss_params: dict):
 
     loss_gamma = float(loss_params.get("loss_gamma", 0.9))
     max_flow = float(loss_params.get("max_flow_magnitude", 700))
+    axis = "data" if mesh is not None and mesh.size > 1 else None
 
     def train_step(state, img1, img2, flow, valid):
         def loss_fn(prms):
             preds, new_bs = fast_train_forward(
-                model, prms, state.batch_stats, img1, img2, train=True)
+                model, prms, state.batch_stats, img1, img2, train=True,
+                axis_name=axis)
             loss = sequence_loss(preds, flow, valid, loss_gamma=loss_gamma,
-                                 max_flow_magnitude=max_flow)
+                                 max_flow_magnitude=max_flow, axis_name=axis)
             return loss, (preds, new_bs)
 
         (loss, (preds, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if axis is not None:
+            # loss is the exact global masked mean (psum'd num/den inside);
+            # its local backward yields partial grads -> sum over shards
+            grads = jax.lax.psum(grads, axis)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = flow_map_metrics(flow, preds[-1], valid)
+        metrics = flow_map_metrics(flow, preds[-1], valid, axis_name=axis)
         metrics["live_loss"] = loss
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_bs,
                              opt_state=new_opt_state), metrics
 
-    return train_step
+    if axis is None:
+        return train_step
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        train_step, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False)
 
 
 def fast_step_supported(model, exp_config, mesh=None) -> bool:
-    """Whether the kernel train path applies: v1/v2 model, single-device
-    mesh (the fast path is not shard_map'd yet), and a crop size whose every
-    refine level satisfies the flat-layout width constraint."""
+    """Whether the kernel train path applies: v1/v2 model, a data-only mesh
+    (batch divisible over the ``data`` axis; ``spatial`` unsharded), and a
+    crop size whose every refine level satisfies the flat-layout width
+    constraint."""
     if not isinstance(model, (MobileStereoNet, MobileStereoNetV2)):
         return False
-    if mesh is not None and mesh.size != 1:
-        return False
+    b = exp_config.train.batch_size
+    if mesh is not None and mesh.size > 1:
+        if dict(mesh.shape).get("spatial", 1) != 1:
+            return False
+        n_data = dict(mesh.shape).get("data", mesh.size)
+        if b % n_data:
+            return False
     try:
         h, w = exp_config.data.image_size
     except (AttributeError, TypeError, ValueError):
@@ -422,10 +473,4 @@ def fast_step_supported(model, exp_config, mesh=None) -> bool:
     # every refine level's width must be a multiple of the 4-px lane fold
     if w % (4 << (down - 1)) or h % (2 ** down):
         return False
-    b = exp_config.train.batch_size
-    for i in range(down):
-        h2 = h >> (down - 1 - i)
-        core = b * h2 + (b - 1) * k3.PADR
-        if not any(core % t == 0 for t in range(1, 25)):
-            return False
     return True

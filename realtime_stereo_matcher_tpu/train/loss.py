@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from realtime_stereo_matcher_tpu.ops import resize_nearest
@@ -28,9 +29,17 @@ def smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
     return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
 
 
-def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray,
+                 axis_name: str | None = None) -> jnp.ndarray:
+    """Masked mean; with ``axis_name`` (inside shard_map/pmap) numerator and
+    denominator psum over the axis -- the exact global-batch mean."""
     m = mask.astype(jnp.float32)
-    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num = jnp.sum(x * m)
+    den = jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def sequence_loss(
@@ -40,6 +49,7 @@ def sequence_loss(
     *,
     loss_gamma: float = 0.9,
     max_flow_magnitude: float = 700.0,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Reference SequenceLoss.forward (loss/loss.py:35-81).
 
@@ -70,24 +80,36 @@ def sequence_loss(
             p = resize_nearest(p * scale, (h, w))
         diff = gt - p
         err = smooth_l1(diff) if i == n_preds - 1 else jnp.abs(diff)
-        total = total + weight * _masked_mean(err, valid)
+        total = total + weight * _masked_mean(err, valid, axis_name)
     return total
 
 
-def flow_map_metrics(flow_gt, flow_pred, flow_valid) -> dict:
+def flow_map_metrics(flow_gt, flow_pred, flow_valid,
+                     axis_name: str | None = None) -> dict:
     """Reference get_flow_map_metrics (loss/loss.py:6-22): masked EPE plus
-    <0.5/1/3/5 px accuracy rates and the first image's pred min/max."""
+    <0.5/1/3/5 px accuracy rates and the first image's pred min/max.
+
+    With ``axis_name`` the masked means are global-batch exact and min/max
+    reduce across shards."""
     gt = flow_gt.astype(jnp.float32)
     pred = flow_pred.astype(jnp.float32)
     valid = flow_valid.astype(jnp.float32) >= 0.5  # (B, H, W)
 
     epe = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # (B, H, W)
+    mn, mx = jnp.min(pred[0]), jnp.max(pred[0])
+    if axis_name is not None:
+        mn = jax.lax.pmin(mn, axis_name)
+        mx = jax.lax.pmax(mx, axis_name)
     return {
-        "epe": _masked_mean(epe, valid),
-        "0.5px": _masked_mean((epe < 0.5).astype(jnp.float32), valid),
-        "1px": _masked_mean((epe < 1.0).astype(jnp.float32), valid),
-        "3px": _masked_mean((epe < 3.0).astype(jnp.float32), valid),
-        "5px": _masked_mean((epe < 5.0).astype(jnp.float32), valid),
-        "min": jnp.min(pred[0]),
-        "max": jnp.max(pred[0]),
+        "epe": _masked_mean(epe, valid, axis_name),
+        "0.5px": _masked_mean((epe < 0.5).astype(jnp.float32), valid,
+                              axis_name),
+        "1px": _masked_mean((epe < 1.0).astype(jnp.float32), valid,
+                            axis_name),
+        "3px": _masked_mean((epe < 3.0).astype(jnp.float32), valid,
+                            axis_name),
+        "5px": _masked_mean((epe < 5.0).astype(jnp.float32), valid,
+                            axis_name),
+        "min": mn,
+        "max": mx,
     }

@@ -174,9 +174,13 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                 "support this model/mesh/crop (see fast_step_supported)")
     if use_fast:
         logging.info("Training on the fused Pallas kernel path "
-                     "(models/fast_train.py).")
-        step_fn = jax.jit(make_fast_train_step(model, tx, loss_params),
-                          donate_argnums=(0,))
+                     "(models/fast_train.py)%s.",
+                     f", data-parallel over {mesh.shape['data']} devices"
+                     if mesh.size > 1 else "")
+        step_fn = jax.jit(
+            make_fast_train_step(model, tx, loss_params,
+                                 mesh=mesh if mesh.size > 1 else None),
+            donate_argnums=(0,))
     else:
         step_fn = jax.jit(make_train_step(model, tx, loss_params),
                           donate_argnums=(0,))

@@ -255,3 +255,73 @@ def test_encoder_train_stage_parity(rng):
     gf = jax.grad(lambda p: jnp.sum(encoder_train(
         p, bs, x, down=3, train=True, dtype=jnp.float32)[0] * cot))(params)
     _tree_close(gf, gr, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_fast_step_matches_single_device():
+    """8-virtual-device data-parallel kernel step == single-device step on
+    the same global batch (sync-BN psum == one-shard stats)."""
+    from realtime_stereo_matcher_tpu.parallel.mesh import (
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
+    from realtime_stereo_matcher_tpu.train.trainer import create_train_state
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs the 8-device CPU mesh")
+
+    b, h, w = 8, 16, 128
+    cfg = load_config({
+        "name": "DP", "path": "/tmp/rsm_dp_test",
+        "train": {"batch_size": b, "restore_checkpoint": "",
+                  "save_checkpoint_frequency": 10 ** 9, "datasets": [],
+                  "learn_rate": 1e-3, "num_of_steps": 4,
+                  "weight_decay": 1e-5,
+                  "loss": {"type": "SequenceLoss",
+                           "parameters": {"loss_gamma": 0.9,
+                                          "max_flow_magnitude": 700}}},
+        "model": {"type": "MobileStereoNet", "parameters": {}},
+        "data": {"image_size": [h, w], "spatial_scale": [-0.2, 0.4],
+                 "do_flip": False, "no_y_jitter": False},
+    })
+    model, tx, _, state = create_train_state(cfg)
+    rng = np.random.default_rng(0)
+    img1 = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    img2 = np.roll(img1, -2, axis=2)
+    flow = np.full((b, h, w, 1), -2.0, np.float32)
+    valid = np.ones((b, h, w), np.float32)
+
+    # single device
+    step1 = make_fast_train_step(model, tx, cfg.train.loss.parameters)
+    st1, m1 = step1(state, jnp.asarray(img1), jnp.asarray(img2),
+                    jnp.asarray(flow), jnp.asarray(valid))
+
+    # 8-device data-parallel
+    mesh = make_mesh(data=8, spatial=1)
+    step8 = jax.jit(make_fast_train_step(model, tx,
+                                         cfg.train.loss.parameters,
+                                         mesh=mesh))
+    state8 = jax.device_put(state, replicated(mesh))
+    batch = shard_batch(mesh, (img1, img2, flow, valid))
+    st8, m8 = step8(state8, *batch)
+
+    np.testing.assert_allclose(float(m8["live_loss"]),
+                               float(m1["live_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m8["epe"]), float(m1["epe"]),
+                               rtol=1e-4)
+    for (kp, a), b_ in zip(
+            jax.tree_util.tree_leaves_with_path(st8.params),
+            jax.tree_util.tree_leaves(st1.params)):
+        # AdamW normalizes gradients, so fp-noise-level grad differences
+        # surface as O(lr)-scale param jitter; the exact-equality checks
+        # here are loss/EPE/batch-stats (psum'd sums).  2e-4 = 20% of one
+        # lr=1e-3 update still catches wrong-gradient wiring.
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=1e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(kp))
+    for a, b_ in zip(jax.tree_util.tree_leaves(st8.batch_stats),
+                     jax.tree_util.tree_leaves(st1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

@@ -145,7 +145,8 @@ def test_fast_kernels_auto_selection(tmp_path):
         fast_step_supported,
     )
 
-    cfg = _tiny_config(tmp_path)          # 32x48 crop: W % 128 != 0
+    cfg = _tiny_config(tmp_path)
+    cfg.data.image_size = [32, 40]        # W/4 not a multiple of 4 px
     model = build_model(cfg.model.as_dict())
     assert not fast_step_supported(model, cfg, None)
 
