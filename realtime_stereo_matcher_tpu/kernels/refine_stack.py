@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
-from realtime_stereo_matcher_tpu.ops import resize_bilinear, warp_by_flow_map
+from realtime_stereo_matcher_tpu.ops import (
+    resize_bilinear,
+    warp_by_flow_map,
+    warp_by_flow_map_banded,
+)
 
 LANES = k3.LANES
 
@@ -171,7 +175,8 @@ def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
 
 
 def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
-                warp_guidance: bool = False, dtype=jnp.bfloat16):
+                warp_guidance: bool = False, dtype=jnp.bfloat16,
+                max_shift: int = 192):
     """Kernel-path replacement for RefineNet.__call__
     (models/stereo_net.py:102-124): 2x-upsample disp, concat guidance
     (optionally warping the right guide), run the conv stack, ReLU-add.
@@ -189,7 +194,14 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
         if r_guide.shape[1:3] != (h2, w2):
             r_guide = resize_bilinear(r_guide, (h2, w2))
         if warp_guidance:
-            r_guide = warp_by_flow_map(r_guide, disp)
+            if r_guide.shape[-1] <= 8:
+                # banded static-shift warp: XLA's gather lowering is ~50x
+                # slower; wide guidance (v3) keeps the gather path (the
+                # unrolled band scales with C)
+                r_guide = warp_by_flow_map_banded(
+                    r_guide.astype(dtype), disp.astype(dtype), max_shift)
+            else:
+                r_guide = warp_by_flow_map(r_guide, disp)
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
 

@@ -323,8 +323,15 @@ flat_conv3x3.defvjp(_conv_fwd, _conv_bwd)
 
 
 def batch_flat_geometry(b: int, h: int):
-    """Row layout of a batched flat tensor: rows, per-image core row starts."""
-    rows = 2 * PADR + b * h + (b - 1) * PADR
+    """Row layout of a batched flat tensor: rows, per-image core row starts.
+
+    Core rows are padded up to a multiple of 24 with zero rows (masked out)
+    so the conv kernels always have a large tile-height divisor available --
+    odd batch/crop combinations otherwise force th <= 8 and starve the MXU.
+    """
+    core = b * h + (b - 1) * PADR
+    core = -(-core // 24) * 24
+    rows = 2 * PADR + core
     starts = [PADR + i * (h + PADR) for i in range(b)]
     return rows, starts
 
@@ -339,11 +346,14 @@ def to_flat_batch(x: jnp.ndarray, c_pad: int = 32) -> jnp.ndarray:
     tiles, wf = flat_tiles(w)
     if c < c_pad:
         x = jnp.pad(x, ((0, 0),) * 3 + ((0, c_pad - c),))
+    rows, _ = batch_flat_geometry(b, h)
     xt = x.reshape(b, h, tiles, LANES)
     xt = jnp.pad(xt, ((0, 0), (0, PADR), (0, 0), (0, 0)))  # gap below each
     xt = xt.reshape(b * (h + PADR), tiles, LANES)
-    xt = jnp.pad(xt, ((PADR, 0), (PADC, wf - tiles + PADC), (0, 0)))
-    # bottom: PADR gap of the last image already appended -> total halo ok
+    # top halo + row padding to the 24-aligned core + bottom halo (the last
+    # image's appended gap supplies PADR of it)
+    xt = jnp.pad(xt, ((PADR, rows - PADR - xt.shape[0]),
+                      (PADC, wf - tiles + PADC), (0, 0)))
     return xt
 
 
@@ -369,8 +379,10 @@ def batch_image_mask(rows: int, wt: int, b: int, h: int, w_px: int,
     Row masks are iota expressions (a fused broadcast at run time) -- a
     literal mask at full-resolution shapes would be a >100 MB HLO constant."""
     row = _core_row_mask(rows)
-    if b > 1:
-        # image rows satisfy (r - PADR) mod (h + PADR) < h
-        r = jnp.arange(rows)[:, None, None]
-        row = row * ((r - PADR) % (h + PADR) < h).astype(jnp.float32)
+    # image rows satisfy (r - PADR) mod (h + PADR) < h, below the tail of
+    # the last image (alignment pad rows would alias the modulus)
+    r = jnp.arange(rows)[:, None, None]
+    tail = PADR + b * h + (b - 1) * PADR
+    row = row * (((r - PADR) % (h + PADR) < h) & (r < tail)
+                 ).astype(jnp.float32)
     return row * jnp.asarray(_col_lane_mask(wt, w_px, phase))

@@ -152,8 +152,10 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
             else:
                 l_g = left
                 r_g = right if warp_guidance else None
+            ms = (model.max_disp >> (down - 1 - i)) + 16
             x = fast_refine(x, l_g, r_g, plans[i],
-                            warp_guidance=warp_guidance, dtype=dtype)
+                            warp_guidance=warp_guidance, dtype=dtype,
+                            max_shift=ms)
             multi_scale.append(_full_res_nearest(x, out_hw, orig_hw))
         return [-1.0 * m for m in multi_scale]
 

@@ -52,6 +52,8 @@ from realtime_stereo_matcher_tpu.models.stereo_net import (
     FeatureEncoder,
     MobileStereoNet,
     MobileStereoNetV2,
+    MobileStereoNetV3,
+    UNetFeatureExtractor,
     _full_res_nearest,
 )
 from realtime_stereo_matcher_tpu.models.layers import (
@@ -65,12 +67,15 @@ from realtime_stereo_matcher_tpu.ops import (
     resize_bilinear,
     soft_argmin,
     warp_by_flow_map,
+    warp_by_flow_map_banded,
 )
 
 
-def refine_conv_plan(dilations):
+def refine_conv_plan(dilations, entry_in_kernel=True):
     """Static conv metadata for one RefineNet: (param path, dilation,
     phase_in, has_bn, res_from) per conv + the head's output phase.
+    ``entry_in_kernel=False`` leaves the entry conv to the caller (XLA) when
+    its input exceeds the 32-channel lane fold (v3: 65 channels).
 
     Mirrors the inference plan's phase bookkeeping
     (kernels/refine_stack.py:build_refine_plan): split folds (d <= 2) flip
@@ -87,7 +92,8 @@ def refine_conv_plan(dilations):
         phase = 2 - phase if d <= 2 else phase
         hist_phase.append(phase)
 
-    push(("ConvBN_0",), 1, True, None)
+    if entry_in_kernel:
+        push(("ConvBN_0",), 1, True, None)
     for j, d in enumerate(dilations):
         block_in = len(specs)
         push((f"ResBlock_{j}", "ConvBN_0"), d, True, None)
@@ -279,7 +285,8 @@ def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
 
 def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
                      dilations=(1, 2, 4, 8, 1, 1), warp_guidance=False,
-                     train=True, dtype=jnp.bfloat16, axis_name=None):
+                     train=True, dtype=jnp.bfloat16, axis_name=None,
+                     max_shift=192):
     """RefineNet forward on the differentiable flat kernels.
 
     ``disp`` (B, h, w, 1) float32 -> (B, 2h, 2w, 1) float32, plus the
@@ -297,19 +304,39 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
         if r_guide.shape[1:3] != (h2, w2):
             r_guide = resize_bilinear(r_guide, (h2, w2))
         if warp_guidance:
-            r_guide = warp_by_flow_map(r_guide, disp)
+            if r_guide.shape[-1] <= 8:
+                # banded (gather/scatter-free) warp: XLA's gather lowering
+                # costs ~17 ms per level fwd+bwd at batch 8, 240x320.  The
+                # unrolled band scales with C, so wide guidance (v3's
+                # 32-channel pyramid features) keeps the gather path.
+                r_guide = warp_by_flow_map_banded(
+                    r_guide.astype(dtype), disp.astype(dtype), max_shift)
+            else:
+                r_guide = warp_by_flow_map(r_guide, disp)
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
-    assert x.shape[-1] <= 32, x.shape
+    bn_updates = {}
+    entry_in_kernel = x.shape[-1] <= 32
+    if not entry_in_kernel:
+        # wide entry conv (v3: 1 + 2*hidden = 65ch) stays in XLA, like the
+        # inference plan (kernels/refine_stack.py RefinePlan.entry_w)
+        ep = rn_params["ConvBN_0"]
+        x = jax.lax.conv_general_dilated(
+            x, jnp.asarray(ep["Conv_0"]["kernel"], dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, u = _bn_relu_nhwc(x, ep["BatchNorm_0"],
+                             _get(rn_stats, ("ConvBN_0",))["BatchNorm_0"],
+                             train, dtype, axis_name)
+        bn_updates["ConvBN_0"] = {
+            "BatchNorm_0": {"mean": u[0], "var": u[1]}}
 
-    specs, final_phase = refine_conv_plan(tuple(dilations))
+    specs, final_phase = refine_conv_plan(tuple(dilations), entry_in_kernel)
     xf = to_flat_batch(x, 32)
     rows, wt, _ = xf.shape
     count = jnp.float32(b * h2 * w2)
     masks = {p: batch_image_mask(rows, wt, b, h2, w2, p) for p in (0, 2)}
 
     history = [xf]
-    bn_updates = {}
     for path, d, phase_in, has_bn, res in specs:
         sub_p = _get(rn_params, path)
         if has_bn:
@@ -344,12 +371,15 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
     Returns (multi_scale predictions, new batch_stats tree) -- the same
     contract as ``model.apply(..., mutable=["batch_stats"])``.
     """
-    if isinstance(model, MobileStereoNetV2):
-        warp_guidance = True
+    if isinstance(model, MobileStereoNetV3):
+        variant = "v3"
+    elif isinstance(model, MobileStereoNetV2):
+        variant = "v2"
     elif isinstance(model, MobileStereoNet):
-        warp_guidance = False
+        variant = "v1"
     else:
         raise NotImplementedError(type(model).__name__)
+    warp_guidance = variant in ("v2", "v3")
 
     dtype = model.dtype or jnp.float32
     down = model.down_factor
@@ -361,16 +391,28 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
     left, orig_hw = pad_to_multiple(left, align)
     right, _ = pad_to_multiple(right, align)
 
-    # encoder: sequential running-stat threading exactly like the Flax model
-    # (one module applied to left then right, stereo_net.py:223-224);
-    # ResBlock convs run on the flat kernels (encoder_train)
-    lf, upd1 = encoder_train(params["FeatureEncoder_0"],
-                             batch_stats["FeatureEncoder_0"], left,
-                             down=down, train=train, dtype=dtype,
-                             axis_name=axis_name)
-    rf, enc_stats = encoder_train(params["FeatureEncoder_0"], upd1, right,
-                                  down=down, train=train, dtype=dtype,
-                                  axis_name=axis_name)
+    if variant == "v3":
+        # U-Net pyramid extractor: plain bias convs + leaky ReLU, no BN
+        # (stereo_net.py:130-177) -> XLA, no batch stats
+        extractor = UNetFeatureExtractor(
+            hidden_dims=(model.hidden_dim,) * (down + 1), dtype=model.dtype)
+        l_fmaps = extractor.apply(
+            {"params": params["UNetFeatureExtractor_0"]}, left, train)
+        r_fmaps = extractor.apply(
+            {"params": params["UNetFeatureExtractor_0"]}, right, train)
+        lf, rf = l_fmaps[0], r_fmaps[0]
+        enc_stats = {}
+    else:
+        # encoder: sequential running-stat threading exactly like the Flax
+        # model (one module applied to left then right, stereo_net.py:
+        # 223-224); ResBlock convs run on the flat kernels (encoder_train)
+        lf, upd1 = encoder_train(params["FeatureEncoder_0"],
+                                 batch_stats["FeatureEncoder_0"], left,
+                                 down=down, train=train, dtype=dtype,
+                                 axis_name=axis_name)
+        rf, enc_stats = encoder_train(params["FeatureEncoder_0"], upd1,
+                                      right, down=down, train=train,
+                                      dtype=dtype, axis_name=axis_name)
 
     vol = difference_cost_volume(lf, rf, vol_disp)
     cost, cf_upd = cost_filter_train(
@@ -379,16 +421,25 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
     x = soft_argmin(cost, axis=1)[..., None].astype(jnp.float32)
 
     multi_scale = []
-    new_stats = {"FeatureEncoder_0": enc_stats,
-                 "CostFilter3D_0": cf_upd}
+    new_stats = {"CostFilter3D_0": cf_upd}
+    if variant != "v3":
+        new_stats["FeatureEncoder_0"] = enc_stats
     out_hw = left.shape[1:3]
     for i in range(down):
+        if variant == "v3":
+            l_g, r_g = l_fmaps[i + 1], r_fmaps[i + 1]
+        else:
+            l_g = left
+            r_g = right if warp_guidance else None
+        # disparity at this level is bounded by the model's design range
+        # scaled to the level's width (+ headroom for refinement deltas)
+        ms = (model.max_disp >> (down - 1 - i)) + 16
         x, rn_upd = refine_net_train(
             params[f"RefineNet_{i}"], batch_stats[f"RefineNet_{i}"],
-            x, left, right if warp_guidance else None,
+            x, l_g, r_g,
             dilations=tuple(model.refine_dilates),
             warp_guidance=warp_guidance, train=train, dtype=dtype,
-            axis_name=axis_name)
+            axis_name=axis_name, max_shift=ms)
         new_stats[f"RefineNet_{i}"] = rn_upd
         multi_scale.append(_full_res_nearest(x, out_hw, orig_hw))
     return [-1.0 * m for m in multi_scale], new_stats
@@ -456,7 +507,9 @@ def fast_step_supported(model, exp_config, mesh=None) -> bool:
     (batch divisible over the ``data`` axis; ``spatial`` unsharded), and a
     crop size whose every refine level satisfies the flat-layout width
     constraint."""
-    if not isinstance(model, (MobileStereoNet, MobileStereoNetV2)):
+    if not isinstance(model,
+                      (MobileStereoNet, MobileStereoNetV2,
+                       MobileStereoNetV3)):
         return False
     b = exp_config.train.batch_size
     if mesh is not None and mesh.size > 1:

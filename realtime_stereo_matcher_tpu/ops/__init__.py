@@ -17,6 +17,7 @@ from realtime_stereo_matcher_tpu.ops.sampling import (
     resize_nearest,
     resize_trilinear,
     warp_by_flow_map,
+    warp_by_flow_map_banded,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "resize_nearest",
     "resize_trilinear",
     "warp_by_flow_map",
+    "warp_by_flow_map_banded",
 ]

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -178,3 +179,78 @@ def warp_by_flow_map(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     x_pix = x * (w / (w - 1.0)) - 0.5
     y_pix = y * (h / (h - 1.0)) - 0.5
     return grid_sample_2d(image, x_pix, y_pix)
+
+
+def warp_by_flow_map_banded(image: jnp.ndarray, flow: jnp.ndarray,
+                            max_shift: int) -> jnp.ndarray:
+    """Horizontal-flow warp as a banded sum of STATIC shifts -- gather-free.
+
+    Mathematically equal to :func:`warp_by_flow_map` for 1-channel flows
+    in ``[0, max_shift]``; out-of-band flows contribute zero instead of
+    sampling.  XLA TPU
+    lowers gathers/scatters to near-scalar loops (~20 ms for a 5 MB warp at
+    batch 8, 240x320, and ~100 ms for its image gradient); this banded form
+    is pure shifted selects -- vectorized, fused, and with shift-based
+    (scatter-free) transposes under autodiff, it needs no custom VJP.
+
+    The vertical axis of the reference's align_corners=False renormalization
+    (see :func:`warp_by_flow_map`) is static per row for 1-channel flows and
+    becomes a fixed two-row blend.
+
+    Args:
+      image: (B, H, W, C).
+      flow: (B, H, W, 1) horizontal flow in ``[0, max_shift]`` -- the
+        positive disparity the models warp by before the final negation.
+      max_shift: static bound on the flow, e.g. the model's ``max_disp``
+        scaled to this level's resolution.
+    """
+    b, h, w, c = image.shape
+    assert flow.shape[-1] == 1, flow.shape
+    dt = image.dtype
+
+    # vertical: y_pix = r * h/(h-1) - 0.5 -- static per row
+    r = np.arange(h)
+    y_pix = r * (h / (h - 1.0)) - 0.5
+    y0 = np.floor(y_pix).astype(np.int32)
+    ty = (y_pix - y0).astype(np.float32)
+    wa = jnp.asarray((1.0 - ty) * ((y0 >= 0) & (y0 < h)), dt)
+    wb = jnp.asarray(ty * ((y0 + 1 >= 0) & (y0 + 1 < h)), dt)
+    ia = jnp.asarray(np.clip(y0, 0, h - 1))
+    ib = jnp.asarray(np.clip(y0 + 1, 0, h - 1))
+    blend = (jnp.take(image, ia, axis=1) * wa[None, :, None, None]
+             + jnp.take(image, ib, axis=1) * wb[None, :, None, None])
+
+    # horizontal: x_pix = (x + disp_neg) * w/(w-1) - 0.5 with disp_neg =
+    # flow <= 0; tap offset k = x - floor(x_pix) in [0, max_shift + 1]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x_pix = (gx - flow[..., 0].astype(jnp.float32)) * (w / (w - 1.0)) - 0.5
+    x0f = jnp.floor(x_pix)
+    tx = (x_pix - x0f).astype(dt)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    off = jnp.arange(w, dtype=jnp.int32)[None, None, :] - x0  # (B, H, W)
+
+    def shifted(k):
+        """blend[x - k] with zero fill (SAME zero padding semantics)."""
+        if abs(k) >= w:
+            return jnp.zeros_like(blend)
+        if k < 0:
+            pad = jnp.zeros((b, h, -k, c), dt)
+            return jnp.concatenate([blend[:, :, -k:], pad], axis=2)
+        if k == 0:
+            return blend
+        pad = jnp.zeros((b, h, k, c), dt)
+        return jnp.concatenate([pad, blend[:, :, :-k]], axis=2)
+
+    out = jnp.zeros_like(blend)
+    # off == k selects tap x0 = x - k; the k-1 shift provides x0 + 1.
+    # sampling position is x - flow with flow in [0, max_shift] (the
+    # models pass positive disparity, mobile_stereo_net_v2.py:59-96), so
+    # the tap offset band is k in [-1, max_shift + 1]; shifts beyond the
+    # image width are identically zero
+    for k in range(-1, min(max_shift + 1, w) + 1):
+        m = (off == k)[..., None]
+        tap0 = shifted(k)
+        tap1 = shifted(k - 1)
+        contrib = (1.0 - tx) * tap0 + tx * tap1
+        out = out + jnp.where(m, contrib, jnp.zeros((), dt))
+    return out

@@ -47,6 +47,9 @@ def _tree_close(a, b, rtol=1e-4, atol=1e-4, path=""):
     ("MobileStereoNetV2", {"down_factor": 3, "max_disp": 192,
                            "refine_dim": 7, "hidden_dim": 32,
                            "refine_dilates": [1, 2, 4, 8, 1, 1]}),
+    ("MobileStereoNetV3", {"down_factor": 3, "max_disp": 192,
+                           "hidden_dim": 32,
+                           "refine_dilates": [1, 2, 4, 8, 1, 1]}),
 ])
 def test_fast_forward_matches_flax(mtype, params):
     model, variables, left, right = _setup(mtype, params)

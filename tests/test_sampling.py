@@ -99,3 +99,35 @@ def test_warp_by_flow_map_matches_reference_semantics(rng):
     want = _nhwc(F.grid_sample(image_t, grid, mode="bilinear",
                                padding_mode="zeros", align_corners=False))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_banded_warp_matches_gather_warp(rng):
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import (
+        warp_by_flow_map,
+        warp_by_flow_map_banded,
+    )
+
+    img = jnp.asarray(rng.standard_normal((2, 10, 48, 3)).astype(np.float32))
+    # the models warp by POSITIVE disparity (stereo_net.py RefineNet)
+    flow = jnp.asarray(rng.uniform(0, 20, (2, 10, 48, 1)).astype(np.float32))
+
+    want = warp_by_flow_map(img, flow)
+    got = warp_by_flow_map_banded(img, flow, max_shift=20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients agree too (both image and flow)
+    def loss(fn):
+        def f(im, fl):
+            out = fn(im, fl) if fn is warp_by_flow_map else fn(im, fl, 20)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    import jax
+    g_ref = jax.grad(loss(warp_by_flow_map), argnums=(0, 1))(img, flow)
+    g_new = jax.grad(loss(warp_by_flow_map_banded), argnums=(0, 1))(img, flow)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -67,7 +67,12 @@ def test_grads_match_lax_conv(rng, dilation):
 
 
 def test_phase2_roundtrip_and_grads(rng):
-    """Chain two split convs (phase 0 -> 2 -> 0) and check against oracle."""
+    """Chain two split convs (phase 0 -> 2 -> 0) and check against oracle.
+
+    The intermediate is re-masked to image rows -- with row-alignment
+    padding, core rows below the image are computed by the kernel and must
+    be zeroed by the consumer before the next conv (exactly what the BN
+    epilogue mask does in the assembly)."""
     x, w1 = _mk(rng, h=8, w=32)
     w2 = jnp.asarray((rng.standard_normal((3, 3, 32, 32)) * 0.2)
                      .astype(np.float32))
@@ -75,6 +80,7 @@ def test_phase2_roundtrip_and_grads(rng):
     def fast(x, w1, w2):
         xf = to_flat_batch(x)
         y1 = flat_conv3x3(xf, w1, 1, 0)     # phase 0 -> 2
+        y1 = y1 * batch_image_mask(y1.shape[0], y1.shape[1], 1, 8, 32, 2)
         y2 = flat_conv3x3(y1, w2, 1, 2)     # phase 2 -> 0
         return from_flat_batch(y2, 1, 8, 32, 32, phase=0)
 
