@@ -110,12 +110,16 @@ def _build_dw_kernel(th, wc, wt, d, offs, per_dy, n_blocks, n):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "phase_in"))
-def dw_reduce(xf: jnp.ndarray, g: jnp.ndarray, dilation: int, phase_in: int):
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "phase_in", "force9"))
+def dw_reduce(xf: jnp.ndarray, g: jnp.ndarray, dilation: int, phase_in: int,
+              force9: bool = False):
     """(n_blocks, 128, 128) f32 folded weight-gradient blocks of a flat conv:
     ``dW_b = sum_core_pixels a_b^T g`` with the fold's (dy, tile-offset)
-    structure, in one streaming pass."""
-    _, offs, per_dy, _ = _fold_selector(dilation, phase_in)
+    structure, in one streaming pass.  ``force9`` selects the
+    phase-preserving 9-block fold (needed when x and g share a phase, e.g.
+    the stride-2 adjoint)."""
+    _, offs, per_dy, _ = _fold_selector(dilation, phase_in, force9)
     n_blocks = 3 * per_dy
     rows, wt, _ = xf.shape
     h = rows - 2 * PADR
@@ -158,14 +162,14 @@ def dw_reduce(xf: jnp.ndarray, g: jnp.ndarray, dilation: int, phase_in: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _fold_selector(dilation: int, phase_in: int):
+def _fold_selector(dilation: int, phase_in: int, force9: bool = False):
     """One-hot fold map sel[ky, kx, b, j, p] plus per-block tile offsets.
 
     ``blocks[b, j*32+ci, p*32+co] = sum_{ky,kx} sel[ky,kx,b,j,p] w[ky,kx,ci,co]``
     reproduces fold_conv3x3_split_weights (dilation <= 2, 6 blocks, phase
     flip) / fold_conv3x3_weights (9 blocks, phase keep) exactly.
     """
-    if dilation <= 2:
+    if dilation <= 2 and not force9:
         offs = k3.split_offsets(phase_in)
         shift = 2 - 2 * phase_in
         n_b = 6
@@ -211,9 +215,10 @@ def fold_weights_traced(w: jnp.ndarray, dilation: int, phase_in: int):
     return blocks.reshape(blocks.shape[0], LANES, LANES)
 
 
-def unfold_weight_grad(d_blocks: jnp.ndarray, dilation: int, phase_in: int):
+def unfold_weight_grad(d_blocks: jnp.ndarray, dilation: int, phase_in: int,
+                       force9: bool = False):
     """Adjoint of :func:`fold_weights_traced`: (n_b, 128, 128) -> (3,3,32,32)."""
-    sel, _, _, _ = _fold_selector(dilation, phase_in)
+    sel, _, _, _ = _fold_selector(dilation, phase_in, force9)
     db = d_blocks.reshape(d_blocks.shape[0], F, 32, F, 32)
     return jnp.einsum("bjipo,yxbjp->yxio", db, jnp.asarray(sel))
 
@@ -386,3 +391,66 @@ def batch_image_mask(rows: int, wt: int, b: int, h: int, w_px: int,
     row = row * (((r - PADR) % (h + PADR) < h) & (r < tail)
                  ).astype(jnp.float32)
     return row * jnp.asarray(_col_lane_mask(wt, w_px, phase))
+
+
+# ---------------------------------------------------------------------------
+# stride-2 conv with kernel-path backward (the encoder's downsampling convs)
+
+
+@jax.custom_vjp
+def conv3x3_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """NHWC stride-2 3x3 conv (torch padding=1 geometry), XLA forward with
+    kernel-path backward.
+
+    The adjoint of a stride-2 conv factors through the zero-upsampled
+    cotangent ``u[2i, 2j] = g[i, j]``: ``dx = SAME-conv(u, rot180(w)^T)``
+    and ``dw = s1-conv weight grad between x and u`` -- both exactly the
+    stride-1 flat kernels (:func:`flat_conv3x3`, :func:`dw_reduce`).
+
+    Measured note: at the v1 reference config the zero-upsampled adjoint
+    pays full-resolution kernel passes and loses to XLA's native stride-2
+    backward (93 -> 100 ms step), so the encoder does NOT use this path;
+    it is kept as a tested building block for configs where the stride-2
+    convs dominate.
+
+    Args:
+      x: (B, H, W, Cin), H and W even, Cin <= 32.
+      w: (3, 3, Cin, Cout) HWIO, Cout <= 32.
+    Returns:
+      (B, H/2, W/2, Cout).
+    """
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _s2_fwd(x, w):
+    return conv3x3_s2(x, w), (x, w)
+
+
+def _s2_bwd(res, g):
+    x, w = res
+    b, h, w_px, ci = x.shape
+    co = g.shape[-1]
+
+    # zero-upsample the cotangent to full resolution
+    u = g[:, :, None, :, None, :]
+    u = jnp.pad(u, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 1), (0, 0)))
+    u = u.reshape(b, h, w_px, co)
+
+    wp = jnp.pad(jnp.asarray(w, jnp.float32),
+                 ((0, 0), (0, 0), (0, 32 - ci), (0, 32 - co)))
+    w_t = jnp.flip(wp, axis=(0, 1)).transpose(0, 1, 3, 2)
+
+    uf = to_flat_batch(u.astype(x.dtype), 32)
+    dxf = flat_conv3x3(uf, w_t, 1, 0)
+    dx = from_flat_batch(dxf, b, h, w_px, ci, phase=2)
+
+    # x and u are both at phase 0 -> the phase-preserving 9-block fold
+    xf = to_flat_batch(x, 32)
+    dw = unfold_weight_grad(dw_reduce(xf, uf, 1, 0, force9=True), 1, 0,
+                            force9=True)
+    return dx.astype(x.dtype), dw[:, :, :ci, :co].astype(w.dtype)
+
+
+conv3x3_s2.defvjp(_s2_fwd, _s2_bwd)

@@ -243,6 +243,10 @@ def encoder_train(enc_params, enc_stats, x, *, down=3, train=True,
     stats_upd = {}
     for i in range(down):
         w = jnp.asarray(enc_params[f"ConvBN_{i}"]["Conv_0"]["kernel"], dtype)
+        # measured: XLA's own stride-2 backward beats the kernel-path
+        # adjoint here (train_conv.conv3x3_s2 pays full-resolution kernels
+        # on the zero-upsampled cotangent: 93 -> 100 ms step), so the
+        # downsampling convs stay fully in XLA
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), w, (2, 2), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -242,3 +242,33 @@ def test_conv3d_forward_and_grads_match_lax(rng):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-3)
+
+
+def test_s2_conv_grads_match_lax(rng):
+    from realtime_stereo_matcher_tpu.kernels.train_conv import conv3x3_s2
+
+    for b, h, w, ci, co in ((2, 16, 32, 3, 32), (2, 8, 64, 32, 32)):
+        x = jnp.asarray(rng.standard_normal((b, h, w, ci)).astype(np.float32))
+        wk = jnp.asarray((rng.standard_normal((3, 3, ci, co)) * 0.2)
+                         .astype(np.float32))
+        cot = jnp.asarray(rng.standard_normal((b, h // 2, w // 2, co))
+                          .astype(np.float32))
+
+        def ref(x, wk):
+            return jax.lax.conv_general_dilated(
+                x, wk, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        np.testing.assert_allclose(np.asarray(conv3x3_s2(x, wk)),
+                                   np.asarray(ref(x, wk)),
+                                   rtol=1e-5, atol=1e-5)
+
+        gx_f, gw_f = jax.grad(
+            lambda x, wk: jnp.sum(conv3x3_s2(x, wk) * cot),
+            argnums=(0, 1))(x, wk)
+        gx_r, gw_r = jax.grad(
+            lambda x, wk: jnp.sum(ref(x, wk) * cot), argnums=(0, 1))(x, wk)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                                   rtol=1e-3, atol=2e-3)
