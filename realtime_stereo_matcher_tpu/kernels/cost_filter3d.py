@@ -98,16 +98,39 @@ def _build_kernel(h, wc, wt, relu, n_slabs, phase_in):
                sem_in, sem_out):
         d = pl.program_id(0)
 
-        # DMA the three input slabs (d-1, d, d+1 in padded coords = d..d+2)
-        cp_in = pltpu.make_async_copy(x_hbm.at[pl.ds(d, 3)], xs, sem_in)
-        cp_in.start()
-        cp_in.wait()
+        # ring of 4 slab buffers: slab s lives in slot s % 4.  Iteration d
+        # consumes slabs d..d+2 and prefetches slab d+3 into slot (d+3)%4 =
+        # (d-1)%4 (freed last iteration), overlapping DMA with compute and
+        # loading each input slab from HBM exactly once (the serial 3-slab
+        # copy per iteration cost 3x the traffic plus a full DMA stall).
+        def slab_copy(s):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s, 1)], xs.at[pl.ds(jax.lax.rem(s, 4), 1)],
+                sem_in.at[jax.lax.rem(s, 4)])
+
+        @pl.when(d == 0)
+        def _():
+            slab_copy(0).start()
+            slab_copy(1).start()
+            slab_copy(2).start()
+
+        @pl.when(d + 1 < n_slabs)
+        def _():
+            slab_copy(d + 3).start()
+
+        @pl.when(d == 0)
+        def _():
+            slab_copy(0).wait()
+            slab_copy(1).wait()
+        slab_copy(d + 2).wait()
 
         first = True
         for dz in range(3):
+            slot = jax.lax.rem(d + dz, 4)
             for dy in range(3):
                 for ti, t in enumerate(offs):
-                    a = xs[dz, pl.ds(PADR + dy - 1, h), pl.ds(PADC + t, wc), :]
+                    a = xs[slot, pl.ds(PADR + dy - 1, h),
+                           pl.ds(PADC + t, wc), :]
                     a = a.reshape(h * wc, LANES)
                     blk = w_ref[dz * 6 + dy * 2 + ti]
                     prod = jax.lax.dot_general(
@@ -119,46 +142,59 @@ def _build_kernel(h, wc, wt, relu, n_slabs, phase_in):
                     else:
                         acc_ref[:] += prod
 
+        oslot = jax.lax.rem(d, 2)
+
+        def out_copy(j, s):
+            return pltpu.make_async_copy(
+                ys.at[pl.ds(s, 1)], out_hbm.at[pl.ds(j + 1, 1)],
+                sem_out.at[s])
+
+        # ys[oslot] may still be draining from slab d-2 -- wait before reuse
+        if n_slabs > 2:
+            @pl.when(d >= 2)
+            def _():
+                out_copy(d - 2, oslot).wait()
+
         y = acc_ref[:] * sb_ref[0][None, :] + sb_ref[1][None, :]
         if relu:
             y = jnp.maximum(y, 0.0)
         y = y.reshape(h, wc, LANES).astype(ys.dtype)
-        ys[PADR:PADR + h, pl.ds(PADC, wc), :] = y
+        ys[oslot, PADR:PADR + h, pl.ds(PADC, wc), :] = y
         if phase_out == 2:
             # fix the 2-px spill edges (see kernels/conv3x3.py epilogue)
             lane = jax.lax.broadcasted_iota(jnp.int32, (h, 1, LANES), 2)
-            ys[PADR:PADR + h, pl.ds(PADC, 1), :] = (
+            ys[oslot, PADR:PADR + h, pl.ds(PADC, 1), :] = (
                 y[:, 0:1, :] * (lane >= 64).astype(y.dtype))
-            ys[PADR:PADR + h, pl.ds(PADC + img_tiles, 1), :] = (
+            ys[oslot, PADR:PADR + h, pl.ds(PADC + img_tiles, 1), :] = (
                 y[:, img_tiles:img_tiles + 1, :]
                 * (lane < 64).astype(y.dtype))
         img_keep = img_tiles + (1 if phase_out == 2 else 0)
         # zero halos (rows, cols) so the next layer's SAME padding holds
         zrow = jnp.zeros((PADR, wt, LANES), ys.dtype)
-        ys[pl.ds(0, PADR)] = zrow
-        ys[pl.ds(PADR + h, PADR)] = zrow
-        ys[PADR:PADR + h, pl.ds(0, PADC), :] = jnp.zeros(
+        ys[oslot, pl.ds(0, PADR)] = zrow
+        ys[oslot, pl.ds(PADR + h, PADR)] = zrow
+        ys[oslot, PADR:PADR + h, pl.ds(0, PADC), :] = jnp.zeros(
             (h, PADC, LANES), ys.dtype)
-        ys[PADR:PADR + h, pl.ds(PADC + img_keep, wt - PADC - img_keep), :] = (
+        ys[oslot, PADR:PADR + h,
+           pl.ds(PADC + img_keep, wt - PADC - img_keep), :] = (
             jnp.zeros((h, wt - PADC - img_keep, LANES), ys.dtype))
+        out_copy(d, oslot).start()
 
-        cp_out = pltpu.make_async_copy(
-            ys, out_hbm.at[d + 1], sem_out)
-        cp_out.start()
-        cp_out.wait()
-
-        # first/last slab also write the zero halo slabs of the output
-        @pl.when(d == 0)
-        def _():
-            ys[...] = jnp.zeros(ys.shape, ys.dtype)
-            cp0 = pltpu.make_async_copy(ys, out_hbm.at[0], sem_out)
-            cp0.start()
-            cp0.wait()
-
+        # last slab: drain, then write the zero halo slabs of the output
         @pl.when(d == n_slabs - 1)
         def _():
-            ys[...] = jnp.zeros(ys.shape, ys.dtype)
-            cp1 = pltpu.make_async_copy(ys, out_hbm.at[n_slabs + 1], sem_out)
+            out_copy(d, oslot).wait()
+            if n_slabs > 1:
+                out_copy(d - 1, 1 - oslot).wait()
+            ys[oslot] = jnp.zeros(ys.shape[1:], ys.dtype)
+            cp0 = pltpu.make_async_copy(
+                ys.at[pl.ds(oslot, 1)], out_hbm.at[pl.ds(0, 1)],
+                sem_out.at[oslot])
+            cp0.start()
+            cp0.wait()
+            cp1 = pltpu.make_async_copy(
+                ys.at[pl.ds(oslot, 1)],
+                out_hbm.at[pl.ds(n_slabs + 1, 1)], sem_out.at[oslot])
             cp1.start()
             cp1.wait()
 
@@ -186,11 +222,11 @@ def _conv3d_call(xf, w_blocks, scale_bias, *, relu, phase_in=0):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((slabs, rows, wt, LANES), xf.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, rows, wt, LANES), xf.dtype),
-            pltpu.VMEM((rows, wt, LANES), xf.dtype),
+            pltpu.VMEM((4, rows, wt, LANES), xf.dtype),
+            pltpu.VMEM((2, rows, wt, LANES), xf.dtype),
             pltpu.VMEM((h * wc, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 18 * n_slabs * h * wc * LANES * LANES,
