@@ -24,38 +24,12 @@ import time
 
 import numpy as np
 
+from realtime_stereo_matcher_tpu.utils.timing import (  # shared methodology
+    measure_latency,
+    timed_chain,  # noqa: F401  (re-exported for existing callers/tests)
+)
+
 BASELINE_FPS = 60.0
-
-
-def timed_chain(jitted_step, init_carry, k: int, repeats: int = 3) -> float:
-    """Min wall time of K dependent dispatches ending in a scalar fetch.
-
-    ``jitted_step(carry) -> carry`` must make each call's input depend on the
-    previous call's output; async dispatch pipelines the K executions and the
-    final scalar device_get forces completion of the whole chain.  (A
-    lax.scan formulation measures identically but recompiles the model inside
-    the loop, costing ~10x the compile time on this toolchain.)
-    """
-    import jax
-
-    carry = jitted_step(init_carry)  # compile + warm
-    _ = float(jax.tree_util.tree_leaves(carry)[0].ravel()[0])
-    ts = []
-    for _ in range(repeats):
-        carry = init_carry
-        t0 = time.time()
-        for _ in range(k):
-            carry = jitted_step(carry)
-        _ = float(jax.tree_util.tree_leaves(carry)[0].ravel()[0])
-        ts.append(time.time() - t0)
-    return min(ts)
-
-
-def measure_latency(jitted_step, init_carry, k: int = 32) -> float:
-    """Per-iteration device latency in seconds via delta-K chained timing."""
-    t1 = timed_chain(jitted_step, init_carry, 1)
-    tk = timed_chain(jitted_step, init_carry, k)
-    return max((tk - t1) / (k - 1), 1e-9)
 
 
 def main():

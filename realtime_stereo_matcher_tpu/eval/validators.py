@@ -14,10 +14,19 @@ reference, including its subtleties:
   ``valid >= -0.5`` and ``gt > -1000`` (:241-246).
 
 TPU adaptations:
-* forward functions are jitted per padded shape and cached; a warm-up call
-  per new shape is excluded from FPS timing (the analog of the reference's
-  cudnn.benchmark autotuning, :113);
-* FPS = 1 / wall(forward + device sync), batch 1, like the reference.
+* forward functions are jitted per padded shape and cached; compilation is
+  excluded from FPS (the analog of the reference's cudnn.benchmark
+  autotuning, :113);
+* FPS for neural models = 1 / chained-dispatch device latency, measured once
+  per unique padded shape (utils/timing.py) -- this environment's relay acks
+  ``block_until_ready`` before execution completes, so the reference's naive
+  per-forward wall-clock (evaluate_stereo.py:125-127) would report inflated
+  numbers here.  Classical (host) models keep honest wall-clock timing.
+* optional shape bucketing (``bucket``) pads H/W up to multiples of a larger
+  quantum than the reference's 64 to bound recompiles on shape-diverse sets
+  (Middlebury F); metric math is unchanged (predictions are cropped back),
+  only conv halos near the padded border can differ marginally.  Off by
+  default (= reference-exact /64 padding).
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ import numpy as np
 
 from realtime_stereo_matcher_tpu.data import datasets
 from realtime_stereo_matcher_tpu.ops import InputPadder
+from realtime_stereo_matcher_tpu.utils.timing import chain_forward_latency
 
 
 class ModelRunner:
@@ -84,47 +94,57 @@ class ModelRunner:
         return self._cache[key](self.variables, jnp.asarray(left),
                                 jnp.asarray(right))
 
-    def warmed(self, shape) -> bool:
-        return not self.is_neural or tuple(shape) in getattr(
-            self, "_warm", set())
-
-    def mark_warm(self, shape):
-        if not hasattr(self, "_warm"):
-            self._warm = set()
-        self._warm.add(tuple(shape))
+    def latency(self, left, right) -> float:
+        """Chained-dispatch device latency (s) for this padded shape, measured
+        once per shape and cached (utils/timing.py methodology)."""
+        key = ("latency", tuple(left.shape))
+        if key not in self._cache:
+            if self._fast_fn is not None:
+                fwd = self._fast_fn
+            else:
+                fwd = lambda a, b: self.model.apply(  # noqa: E731
+                    self.variables, a, b, train=False)
+            self._cache[key] = chain_forward_latency(
+                fwd, jnp.asarray(left), jnp.asarray(right))
+        return self._cache[key]
 
 
 def _forward_timed(runner, image1, image2):
-    """Run the final prediction with FPS timing (excluding first-shape
-    compilation)."""
-    if not runner.warmed(image1.shape):
-        out = runner(image1, image2)
-        jax.block_until_ready(out) if runner.is_neural else None
-        runner.mark_warm(image1.shape)
-    start = time.time()
-    out = runner(image1, image2)
+    """Final prediction + honest FPS.
+
+    Neural models: chained-dispatch latency per unique padded shape (the
+    relay makes naive timing bogus -- see module docstring).  Classical host
+    models: plain wall-clock around the call."""
     if runner.is_neural:
+        out = runner(image1, image2)
         jax.block_until_ready(out)
-    end = time.time()
-    return np.asarray(out[-1]), 1.0 / max(end - start, 1e-9)
+        fps = 1.0 / runner.latency(image1, image2)
+    else:
+        start = time.time()
+        out = runner(image1, image2)
+        fps = 1.0 / max(time.time() - start, 1e-9)
+    return np.asarray(out[-1]), fps
 
 
-def _prep(image1, image2):
-    """(H, W, 3) -> padded (1, H64, W64, 3) pair + padder."""
+def _prep(image1, image2, bucket: int = 0):
+    """(H, W, 3) -> padded (1, H64, W64, 3) pair + padder.
+
+    ``bucket > 0`` quantizes the padded shape up to multiples of ``bucket``
+    (>= 64) to bound per-shape recompiles; 0 = reference-exact /64."""
     i1 = np.asarray(image1, np.float32)[None]
     i2 = np.asarray(image2, np.float32)[None]
-    padder = InputPadder(i1.shape, divis_by=64)
+    padder = InputPadder(i1.shape, divis_by=max(bucket, 64))
     i1, i2 = padder.pad(jnp.asarray(i1), jnp.asarray(i2))
     return i1, i2, padder
 
 
-def validate_eth3d(runner, root=None) -> dict:
+def validate_eth3d(runner, root=None, bucket: int = 0) -> dict:
     """Reference validate_eth3d (evaluate_stereo.py:33-104)."""
     val_dataset = datasets.ETH3D(aug_params={}, root=root)
     out_list, epe_list, fps_list = [], [], []
     for val_id in range(len(val_dataset)):
         _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
-        i1, i2, padder = _prep(image1, image2)
+        i1, i2, padder = _prep(image1, image2, bucket)
         flow_pr, fps = _forward_timed(runner, i1, i2)
         flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
         assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
@@ -150,13 +170,13 @@ def validate_eth3d(runner, root=None) -> dict:
             "eth3d-bad3.0": bads[2], "eth3d-bad5.0": bads[3], "eth3d-fps": fps}
 
 
-def validate_kitti(runner, root=None) -> dict:
+def validate_kitti(runner, root=None, bucket: int = 0) -> dict:
     """Reference validate_kitti (evaluate_stereo.py:108-162)."""
     val_dataset = datasets.KITTI(aug_params={}, root=root, image_set="training")
     out_list, epe_list, fps_list = [], [], []
     for val_id in range(len(val_dataset)):
         _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
-        i1, i2, padder = _prep(image1, image2)
+        i1, i2, padder = _prep(image1, image2, bucket)
         flow_pr, fps = _forward_timed(runner, i1, i2)
         flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
         assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
@@ -180,14 +200,14 @@ def validate_kitti(runner, root=None) -> dict:
     return {"kitti-epe": epe, "kitti-d1": d1, "kitti-fps": fps}
 
 
-def validate_things(runner, root=None) -> dict:
+def validate_things(runner, root=None, bucket: int = 0) -> dict:
     """Reference validate_things (evaluate_stereo.py:166-212)."""
     val_dataset = datasets.SceneFlowDatasets(
         root=root, dstype="frames_finalpass", things_test=True)
     out_list, epe_list, fps_list = [], [], []
     for val_id in range(len(val_dataset)):
         _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
-        i1, i2, padder = _prep(image1, image2)
+        i1, i2, padder = _prep(image1, image2, bucket)
         flow_pr, fps = _forward_timed(runner, i1, i2)
         flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
         assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
@@ -207,13 +227,13 @@ def validate_things(runner, root=None) -> dict:
     return {"things-epe": epe, "things-d1": d1, "things-fps": fps}
 
 
-def validate_middlebury(runner, split="F", root=None) -> dict:
+def validate_middlebury(runner, split="F", root=None, bucket: int = 0) -> dict:
     """Reference validate_middlebury (evaluate_stereo.py:216-286)."""
     val_dataset = datasets.Middlebury(aug_params={}, root=root, split=split)
     out_list, epe_list, fps_list = [], [], []
     for val_id in range(len(val_dataset)):
         _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
-        i1, i2, padder = _prep(image1, image2)
+        i1, i2, padder = _prep(image1, image2, bucket)
         flow_pr, fps = _forward_timed(runner, i1, i2)
         flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
         assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
@@ -240,7 +260,8 @@ def validate_middlebury(runner, split="F", root=None) -> dict:
             "middlebury-bad5.0": bads[3], "middlebury-fps": fps}
 
 
-def run_validation(runner, dataset_names, *, data_root=None) -> dict:
+def run_validation(runner, dataset_names, *, data_root=None,
+                   bucket: int = 0) -> dict:
     """Dispatch per config ``test.datasets`` (reference main, :322-337)."""
     import os.path as osp
 
@@ -250,14 +271,15 @@ def run_validation(runner, dataset_names, *, data_root=None) -> dict:
     results = {}
     for dataset in dataset_names:
         if dataset == "eth3d":
-            results.update(validate_eth3d(runner, root=sub("ETH3D")))
+            results.update(validate_eth3d(runner, root=sub("ETH3D"), bucket=bucket))
         elif dataset == "kitti":
-            results.update(validate_kitti(runner, root=sub("KITTI")))
+            results.update(validate_kitti(runner, root=sub("KITTI"), bucket=bucket))
         elif dataset in [f"middlebury_{s}" for s in "FHQ"] + ["middlebury_2014"]:
             results.update(validate_middlebury(
-                runner, split=dataset.split("_")[-1], root=sub("Middlebury")))
+                runner, split=dataset.split("_")[-1], root=sub("Middlebury"),
+                bucket=bucket))
         elif dataset == "things":
-            results.update(validate_things(runner, root=sub("SceneFlow")))
+            results.update(validate_things(runner, root=sub("SceneFlow"), bucket=bucket))
         else:
             raise ValueError(f"unknown test dataset: {dataset}")
     return results

@@ -449,7 +449,8 @@ def fast_train_forward(model, params, batch_stats, left_img, right_img, *,
     return [-1.0 * m for m in multi_scale], new_stats
 
 
-def make_fast_train_step(model, tx, loss_params: dict, mesh=None):
+def make_fast_train_step(model, tx, loss_params: dict, mesh=None,
+                         loss_type: str = "SequenceLoss"):
     """Kernel-path (state, batch) -> (state, metrics) step; same contract as
     train.trainer.make_train_step.
 
@@ -461,12 +462,11 @@ def make_fast_train_step(model, tx, loss_params: dict, mesh=None):
     import optax
 
     from realtime_stereo_matcher_tpu.train.loss import (
+        build_loss_function,
         flow_map_metrics,
-        sequence_loss,
     )
 
-    loss_gamma = float(loss_params.get("loss_gamma", 0.9))
-    max_flow = float(loss_params.get("max_flow_magnitude", 700))
+    loss = build_loss_function({"type": loss_type, "parameters": loss_params})
     axis = "data" if mesh is not None and mesh.size > 1 else None
 
     def train_step(state, img1, img2, flow, valid):
@@ -474,11 +474,9 @@ def make_fast_train_step(model, tx, loss_params: dict, mesh=None):
             preds, new_bs = fast_train_forward(
                 model, prms, state.batch_stats, img1, img2, train=True,
                 axis_name=axis)
-            loss = sequence_loss(preds, flow, valid, loss_gamma=loss_gamma,
-                                 max_flow_magnitude=max_flow, axis_name=axis)
-            return loss, (preds, new_bs)
+            return loss(preds, flow, valid, axis_name=axis), (preds, new_bs)
 
-        (loss, (preds, new_bs)), grads = jax.value_and_grad(
+        (loss_val, (preds, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         if axis is not None:
             # loss is the exact global masked mean (psum'd num/den inside);
@@ -488,7 +486,7 @@ def make_fast_train_step(model, tx, loss_params: dict, mesh=None):
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = flow_map_metrics(flow, preds[-1], valid, axis_name=axis)
-        metrics["live_loss"] = loss
+        metrics["live_loss"] = loss_val
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_bs,
                              opt_state=new_opt_state), metrics

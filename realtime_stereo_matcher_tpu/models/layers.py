@@ -210,15 +210,16 @@ class ConvTransposeBN(nn.Module):
     """ConvTranspose + optional BN + activation.
 
     Covers the reference's up-projections: k2s2 (v3 U-Net), k3s2p1op1 (v4
-    hourglass), k4s2p1 (DispNetC).  All are exact 2x upsamplers; flax
-    ``ConvTranspose`` with padding='SAME' (k3/k4) or 'VALID' (k2) reproduces
-    the output geometry.
+    hourglass), k4s2p1 (DispNetC).  All are exact 2x upsamplers.  Numerically
+    verified torch mappings (tests/test_torch_parity.py): k4s2p1 == 'SAME',
+    k2s2 == 'VALID', k3s2p1op1 == explicit ((1, 2), (1, 2)) -- torch puts the
+    output_padding row/column on the high side, which 'SAME' does not.
     """
 
     features: int
     kernel_size: Sequence[int] = (4, 4)
     strides: Sequence[int] = (2, 2)
-    padding: str = "SAME"
+    padding: str | Sequence = "SAME"
     use_bn: bool = True
     use_bias: bool = False
     act: Callable | None = None

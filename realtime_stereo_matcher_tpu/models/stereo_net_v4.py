@@ -209,10 +209,17 @@ class InterweaveVolume(nn.Module):
         kr = self._block_diag(k[:, :, 1::2, :], 8)
         kt = jnp.concatenate(
             [kl[:, :1], jnp.zeros_like(kl[:, 1:])], axis=1)
+        # rightmost-column taps of convR: the reference's sliced conv sees
+        # zero right-padding at the global last column, but full-width
+        # convR(R) reads R[W - s] there -- corrected below (weight-transplant
+        # parity vs the torch loop, tests/test_torch_parity.py)
+        ktr = jnp.concatenate(
+            [jnp.zeros_like(kr[:, :2]), kr[:, 2:]], axis=1)
 
         a = self._conv(featL, kl)   # (B, H, W, 128): channel = 16*blk + o
         bc = self._conv(featR, kr)
         ct = self._conv(featL, kt)  # leftmost-column taps of convL
+        cr = self._conv(featR, ktr)
 
         colw = jnp.arange(w)
         shifts = s0 + jnp.arange(n_s)
@@ -225,6 +232,14 @@ class InterweaveVolume(nn.Module):
         m = lambda q: q[None, :, None, :, None]
         z = a[:, None] + stack
         z = z - jnp.where(m(at_s), 1.0, 0.0) * ct[:, None]
+        # right-edge: at global column W-1 (shift >= 1), remove convR's
+        # right-tap contribution R[W - s] the sliced reference never saw
+        last_idx = jnp.clip(w - 1 - shifts, 0, w - 1)       # (n_s,)
+        cr_last = jnp.take(cr, last_idx, axis=2)            # (B,H,n_s,C)
+        cr_last = jnp.transpose(cr_last, (0, 2, 1, 3))      # (B,n_s,H,C)
+        rmask = (shifts >= 1)[None, :, None, None]
+        z = z.at[:, :, :, w - 1, :].add(
+            -jnp.where(rmask, cr_last, 0.0).astype(z.dtype))
         z = z.reshape(b * n_s, h, w, 128)
 
         red = self._tail(z, train, keep=keep, b=b)          # (B*n_s,H,W,1)
@@ -275,13 +290,17 @@ class Hourglass2D(nn.Module):
         conv3 = MobileV2Residual(c * 2, c * 4, 2, er, dtype=self.dtype)(conv2, train)
         conv4 = MobileV2Residual(c * 4, c * 4, 1, er, dtype=self.dtype)(conv3, train)
 
-        # ConvTranspose2d(k=3, s=2, p=1, output_padding=1) + BN: exact 2x
-        conv5 = ConvTransposeBN(c * 2, kernel_size=(3, 3), dtype=self.dtype)(
-            conv4, train)
+        # ConvTranspose2d(k=3, s=2, p=1, output_padding=1) + BN: exact 2x.
+        # torch puts the output_padding on the high side -> explicit
+        # ((1, 2), (1, 2)), not 'SAME' (weight-transplant verified).
+        p3 = ((1, 2), (1, 2))
+        conv5 = ConvTransposeBN(c * 2, kernel_size=(3, 3), padding=p3,
+                                dtype=self.dtype)(conv4, train)
         redir2 = MobileV2Residual(c * 2, c * 2, 1, er, dtype=self.dtype)(conv2, train)
         conv5 = nn.relu(conv5 + redir2)
 
-        conv6 = ConvTransposeBN(c, kernel_size=(3, 3), dtype=self.dtype)(conv5, train)
+        conv6 = ConvTransposeBN(c, kernel_size=(3, 3), padding=p3,
+                                dtype=self.dtype)(conv5, train)
         redir1 = MobileV2Residual(c, c, 1, er, dtype=self.dtype)(x, train)
         return nn.relu(conv6 + redir1)
 

@@ -113,3 +113,27 @@ def flow_map_metrics(flow_gt, flow_pred, flow_valid,
         "min": mn,
         "max": mx,
     }
+
+
+def build_loss_function(loss_config: dict):
+    """Loss factory dispatching on config ``type``
+    (reference loss/__init__.py:4-10).
+
+    Accepts ``{"type": ..., "parameters": {...}}``; returns
+    ``loss_fn(preds, gt, valid, axis_name=None)`` with parameters bound.
+    Unknown types raise, matching the reference -- previously the trainer
+    hardwired SequenceLoss and silently ignored the config type.
+    """
+    ltype = loss_config.get("type", "SequenceLoss")
+    params = dict(loss_config.get("parameters", {}))
+    if ltype == "SequenceLoss":
+        gamma = float(params.get("loss_gamma", 0.9))
+        max_flow = float(params.get("max_flow_magnitude", 700))
+
+        def loss_fn(preds, gt, valid, axis_name=None):
+            return sequence_loss(preds, gt, valid, loss_gamma=gamma,
+                                 max_flow_magnitude=max_flow,
+                                 axis_name=axis_name)
+
+        return loss_fn
+    raise NotImplementedError(f"invalid loss type: {ltype}!")

@@ -37,8 +37,8 @@ from realtime_stereo_matcher_tpu.parallel.mesh import (
     shard_batch,
 )
 from realtime_stereo_matcher_tpu.train.loss import (
+    build_loss_function,
     flow_map_metrics,
-    sequence_loss,
 )
 from realtime_stereo_matcher_tpu.train.optim import make_optimizer
 from realtime_stereo_matcher_tpu.utils.logger import MetricLogger
@@ -79,26 +79,24 @@ def create_train_state(exp_config: ExperimentConfig, rng_key=None,
     return model, tx, schedule, state
 
 
-def make_train_step(model, tx, loss_params: dict):
+def make_train_step(model, tx, loss_params: dict,
+                    loss_type: str = "SequenceLoss"):
     """Jittable (state, batch) -> (state, metrics) step."""
-    loss_gamma = float(loss_params.get("loss_gamma", 0.9))
-    max_flow = float(loss_params.get("max_flow_magnitude", 700))
+    loss = build_loss_function({"type": loss_type, "parameters": loss_params})
 
     def train_step(state: TrainState, img1, img2, flow, valid):
         def loss_fn(params):
             preds, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img1, img2, train=True, mutable=["batch_stats"])
-            loss = sequence_loss(preds, flow, valid, loss_gamma=loss_gamma,
-                                 max_flow_magnitude=max_flow)
-            return loss, (preds, updates["batch_stats"])
+            return loss(preds, flow, valid), (preds, updates["batch_stats"])
 
-        (loss, (preds, new_bs)), grads = jax.value_and_grad(
+        (loss_val, (preds, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = flow_map_metrics(flow, preds[-1], valid)
-        metrics["live_loss"] = loss
+        metrics["live_loss"] = loss_val
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -159,6 +157,9 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                                        num_shards=num_shards)
 
     loss_params = exp_config.train.loss.parameters
+    loss_type = exp_config.train.loss.type
+    # fail fast on unknown loss types (reference loss/__init__.py:4-10)
+    build_loss_function({"type": loss_type, "parameters": loss_params})
     fast_mode = getattr(exp_config.train, "fast_kernels", "auto")
     use_fast = False
     if fast_mode in ("auto", "on"):
@@ -179,10 +180,12 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                      if mesh.size > 1 else "")
         step_fn = jax.jit(
             make_fast_train_step(model, tx, loss_params,
-                                 mesh=mesh if mesh.size > 1 else None),
+                                 mesh=mesh if mesh.size > 1 else None,
+                                 loss_type=loss_type),
             donate_argnums=(0,))
     else:
-        step_fn = jax.jit(make_train_step(model, tx, loss_params),
+        step_fn = jax.jit(make_train_step(model, tx, loss_params,
+                                          loss_type=loss_type),
                           donate_argnums=(0,))
 
     # replicate state over the mesh; batches are sharded over 'data'

@@ -8,6 +8,8 @@ import pytest
 from realtime_stereo_matcher_tpu.models import build_model
 from realtime_stereo_matcher_tpu.models.fast_infer import make_fast_forward
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel tests dominate suite time
+
 
 def _init(model_type, rng, h=48, w=256):
     model = build_model({"type": model_type, "parameters": {}})

@@ -17,6 +17,8 @@ from realtime_stereo_matcher_tpu.models.fast_train import (
     make_fast_train_step,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel tests dominate suite time
+
 B, H, W = 2, 32, 128
 
 

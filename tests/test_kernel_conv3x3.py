@@ -14,6 +14,8 @@ from realtime_stereo_matcher_tpu.kernels.conv3x3 import (
     to_flat,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel tests dominate suite time
+
 
 def _xla_conv(x, w, dilation=1):
     return jax.lax.conv_general_dilated(

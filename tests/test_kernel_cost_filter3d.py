@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from realtime_stereo_matcher_tpu.kernels.cost_filter3d import (
     Conv3dSpec,
@@ -15,6 +16,8 @@ from realtime_stereo_matcher_tpu.kernels.cost_filter3d import (
 )
 from realtime_stereo_matcher_tpu.kernels import conv3x3 as k3
 from realtime_stereo_matcher_tpu.models.stereo_net import CostFilter3D
+
+pytestmark = pytest.mark.slow  # interpret-mode kernel tests dominate suite time
 
 
 def test_single_conv3d_matches_xla(rng):

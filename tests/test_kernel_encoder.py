@@ -19,6 +19,8 @@ from realtime_stereo_matcher_tpu.kernels.encoder import (
 )
 from realtime_stereo_matcher_tpu.models.stereo_net import FeatureEncoder
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel tests dominate suite time
+
 
 def _xla_conv_s2(x, w):
     return jax.lax.conv_general_dilated(

@@ -35,14 +35,24 @@ def _loop_volume(vol_mod, variables, featL, featR, n_shifts):
 
 
 def _randomized_variables(vol_mod, rng, h, w):
+    """Randomize *all* variables, including BN scale/bias/stats.
+
+    With default init (BN bias 0) the volume's final ReLU clips everything to
+    zero and any two formulations agree trivially -- round 1's version of
+    this helper did exactly that, hiding a right-edge boundary bug.  The
+    nonzero-fraction assertion in the test guards against regressing to a
+    vacuous comparison."""
     variables = vol_mod.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, h, w, 32)),
                              jnp.zeros((1, h, w, 32)), train=False)
-    # randomize batch stats so BN actually transforms (init means/vars 0/1)
-    bs = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(rng.uniform(0.5, 1.5, x.shape), x.dtype),
-        variables["batch_stats"])
-    return {"params": variables["params"], "batch_stats": bs}
+    flat = jax.tree_util.tree_flatten_with_path(variables)
+    leaves = []
+    for path, x in flat[0]:
+        if str(path[-1].key) == "var":
+            leaves.append(jnp.asarray(rng.uniform(0.5, 1.5, x.shape), x.dtype))
+        else:
+            leaves.append(jnp.asarray(rng.normal(0.2, 0.6, x.shape), x.dtype))
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
 
 
 def test_decomposed_volume_equals_reference_loop(rng):
@@ -55,7 +65,8 @@ def test_decomposed_volume_equals_reference_loop(rng):
     variables = _randomized_variables(vol_mod, rng, h, w)
 
     got = np.asarray(vol_mod.apply(variables, featL, featR, train=False))
-    want = _loop_volume(vol_mod, variables, featL, featR, n_shifts)
+    want = np.asarray(_loop_volume(vol_mod, variables, featL, featR, n_shifts))
+    assert (want != 0).mean() > 0.2, "vacuous comparison: volume all zero"
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     # boundary columns must be exactly zero
     for i in range(1, n_shifts):

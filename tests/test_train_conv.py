@@ -13,6 +13,8 @@ from realtime_stereo_matcher_tpu.kernels.train_conv import (
     to_flat_batch,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel tests dominate suite time
+
 
 def conv_ref(x, w, dilation=1):
     return jax.lax.conv_general_dilated(
