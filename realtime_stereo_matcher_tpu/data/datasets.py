@@ -394,6 +394,17 @@ def build_train_dataset(exp_config) -> ConcatDataset | StereoDataset:
                                     keywords=dataset_name.split("_")[2:])
         elif dataset_name == "eth3d":
             new_dataset = ETH3D(dict(aug_params), root=sub("ETH3D"))
+        elif dataset_name.startswith("synthetic"):
+            # "synthetic" or "synthetic_<N>": procedural scenes with exact GT
+            # (data/synthetic.py); holdout seeds >= 10**6 are reserved for
+            # validate_synthetic
+            from realtime_stereo_matcher_tpu.data.synthetic import (
+                SyntheticStereo,
+            )
+
+            parts = dataset_name.split("_")
+            length = int(parts[1]) if len(parts) > 1 else 2000
+            new_dataset = SyntheticStereo(dict(aug_params), length=length)
         else:
             raise ValueError(f"unknown training dataset: {dataset_name}")
         logging.info("Adding %d samples from %s", len(new_dataset), dataset_name)

@@ -137,13 +137,21 @@ class StereoDataLoader:
 
 def fetch_dataloader(exp_config, *, shard_id: int = 0, num_shards: int = 1,
                      num_workers: int | None = None) -> StereoDataLoader:
-    """Reference fetch_dataloader (stereo_datasets.py:411-494) equivalent."""
+    """Reference fetch_dataloader (stereo_datasets.py:411-494) equivalent.
+
+    The config ``train.batch_size`` is the GLOBAL batch (reference
+    DataParallel semantics); with ``num_shards`` hosts each loader yields
+    ``batch_size / num_shards`` samples per step from its disjoint shard.
+    """
     from realtime_stereo_matcher_tpu.data.datasets import build_train_dataset
 
     dataset = build_train_dataset(exp_config)
+    gb = exp_config.train.batch_size
+    assert gb % num_shards == 0, (
+        f"global batch {gb} not divisible by {num_shards} hosts")
     return StereoDataLoader(
         dataset,
-        exp_config.train.batch_size,
+        gb // num_shards,
         shuffle=True,
         drop_last=True,
         num_workers=num_workers,

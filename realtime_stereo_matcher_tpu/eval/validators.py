@@ -260,6 +260,37 @@ def validate_middlebury(runner, split="F", root=None, bucket: int = 0) -> dict:
             "middlebury-bad5.0": bads[3], "middlebury-fps": fps}
 
 
+def validate_synthetic(runner, n_images: int = 40, bucket: int = 0,
+                       image_hw=(320, 448), max_disp: float = 64.0) -> dict:
+    """Held-out procedural scenes (data/synthetic.py, seeds >= 10**6) with
+    KITTI-style metric math -- the convergence gate when no benchmark
+    datasets are mounted."""
+    from realtime_stereo_matcher_tpu.data.synthetic import SyntheticStereo
+
+    val_dataset = SyntheticStereo(aug_params=None, length=n_images,
+                                  seed0=10 ** 6, image_hw=image_hw,
+                                  max_disp=max_disp)
+    out_list, epe_list, fps_list = [], [], []
+    for val_id in range(len(val_dataset)):
+        _, image1, image2, flow_gt, valid_gt = val_dataset[val_id]
+        i1, i2, padder = _prep(image1, image2, bucket)
+        flow_pr, fps = _forward_timed(runner, i1, i2)
+        flow_pr = np.asarray(padder.unpad(jnp.asarray(flow_pr, jnp.float32)))[0]
+        assert flow_pr.shape == flow_gt.shape, (flow_pr.shape, flow_gt.shape)
+        epe = np.sqrt(((flow_pr - flow_gt) ** 2).sum(-1)).flatten()
+        fpr = flow_pr.flatten()
+        val = ((valid_gt.flatten() >= 0.5) & ~np.isnan(fpr) & (fpr < 0.0))
+        out = epe > 1.0
+        epe_list.append(float(epe[val].mean()))
+        out_list.append(out[val])
+        fps_list.append(fps)
+    epe = float(np.mean(epe_list))
+    d1 = 100 * float(np.concatenate(out_list).mean())
+    fps = float(np.mean(fps_list))
+    print("Validation SYNTHETIC: EPE %.4f, D1 %.4f, FPS: %.4f" % (epe, d1, fps))
+    return {"synthetic-epe": epe, "synthetic-d1": d1, "synthetic-fps": fps}
+
+
 def run_validation(runner, dataset_names, *, data_root=None,
                    bucket: int = 0) -> dict:
     """Dispatch per config ``test.datasets`` (reference main, :322-337)."""
@@ -280,6 +311,8 @@ def run_validation(runner, dataset_names, *, data_root=None,
                 bucket=bucket))
         elif dataset == "things":
             results.update(validate_things(runner, root=sub("SceneFlow"), bucket=bucket))
+        elif dataset == "synthetic":
+            results.update(validate_synthetic(runner, bucket=bucket))
         else:
             raise ValueError(f"unknown test dataset: {dataset}")
     return results

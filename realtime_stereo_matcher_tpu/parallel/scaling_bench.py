@@ -76,6 +76,29 @@ def scaling_efficiency(model, variables, device_counts=None, *,
     return results
 
 
+def measure_sharded_latency(model, variables, *, image_hw=(720, 1280),
+                            iters: int = 8) -> float:
+    """Single-image latency (s) of the end-to-end disparity+spatially
+    sharded forward (parallel/sharded_infer.py) over all devices -- the
+    model-parallel lever for latency (vs. the throughput DP above)."""
+    from realtime_stereo_matcher_tpu.parallel.sharded_infer import (
+        make_sharded_infer,
+    )
+
+    rng = np.random.default_rng(0)
+    h, w = image_hw
+    left = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    fwd = make_sharded_infer(model, variables)
+    out = fwd(left, right)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(left, right)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
 def main():  # pragma: no cover - needs a multi-chip slice
     from realtime_stereo_matcher_tpu.models import build_model
 
@@ -87,6 +110,9 @@ def main():  # pragma: no cover - needs a multi-chip slice
     for n, r in scaling_efficiency(model, variables).items():
         print(f"devices={n:3d}  fps={r['fps']:8.2f}  "
               f"efficiency={r['efficiency']:.3f}")
+    lat = measure_sharded_latency(model, variables)
+    print(f"sharded single-image latency over {len(jax.devices())} devices: "
+          f"{lat * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":

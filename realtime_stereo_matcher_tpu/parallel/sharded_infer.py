@@ -1,0 +1,157 @@
+"""End-to-end multi-device stereo inference (disparity + spatial sharding).
+
+Composes the disparity-axis cost-volume sharding
+(parallel/disparity_sharding.py) into a runnable full forward for
+MobileStereoNet -- the "720p+" scaling lever from SURVEY.md §2.3:
+
+* stage 1 (encoder): jit over a ``spatial`` mesh view -- image rows are
+  sharded across devices; XLA's partitioner inserts the conv halo exchanges;
+* stage 2 (coarse): the O(C*D*h*w) cost volume + 5-layer 3D filter +
+  soft-argmin run under ``shard_map`` over a ``disp`` mesh view -- each
+  device owns a disparity slab, combining only at the soft-argmin
+  (pmax/psum of scalar fields);
+* stage 3 (refines): the RGB-guided refinement cascade, jit-sharded over
+  ``spatial`` again (dilated convs at full resolution are the FLOPs here).
+
+The stages are separate jits on the same devices; XLA reshards between them
+(features are ~D/n smaller than the volume, so replicating them into stage 2
+is the cheap direction).  Output is parity-tested against the single-device
+``model.apply`` on the 8-device CPU mesh (tests/test_sharded_infer.py).
+
+Shard-count rule: the spatial shard count is chosen per input shape so that
+EVERY pyramid level's row count divides evenly (largest k <= n_devices
+dividing padded_H / 2^down_factor).  With uneven shards XLA's SPMD
+partitioner miscompiles chains of strided convolutions (reproduced on the
+CPU backend: 3 chained stride-2 convs, 32 rows over 8 shards -> max error
+~1.1 vs the unsharded result, single conv exact); even shards at every
+level sidestep it and are also the only layout with balanced halo traffic.
+
+Reference semantics throughout: model/mobile_stereo_net.py:120-158.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from realtime_stereo_matcher_tpu.models.layers import normalize_images
+from realtime_stereo_matcher_tpu.models.stereo_net import (
+    FeatureEncoder,
+    RefineNet,
+    _full_res_nearest,
+)
+from realtime_stereo_matcher_tpu.ops import pad_to_multiple
+from realtime_stereo_matcher_tpu.parallel.disparity_sharding import (
+    make_sharded_coarse_fn,
+)
+
+
+def make_sharded_infer(model, variables, devices=None, dtype=None):
+    """Build ``f(left, right) -> [negative disparity maps]`` running
+    MobileStereoNet over all ``devices`` with disparity+spatial sharding.
+
+    ``model`` must be a MobileStereoNet (v1); ``variables`` its
+    ``{"params", "batch_stats"}``.  Stage functions are built (and jitted)
+    once per distinct input shape.
+    """
+    from realtime_stereo_matcher_tpu.models import MobileStereoNet
+
+    assert isinstance(model, MobileStereoNet), type(model)
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dev = np.asarray(devices)
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    align = 2 ** model.down_factor
+    vol_disp = (model.max_disp + 1) // align
+    # disparity shards must divide the volume depth; small volumes use a
+    # device subset for the coarse stage
+    n_disp = math.gcd(vol_disp, n)
+    mesh_disp = Mesh(dev[:n_disp], ("disp",))
+
+    encoder = FeatureEncoder(model.hidden_dim, model.down_factor, dtype=dtype)
+    enc_vars = {"params": params["FeatureEncoder_0"],
+                "batch_stats": stats["FeatureEncoder_0"]}
+
+    refine_mods = []
+    for i in range(model.down_factor):
+        name = f"RefineNet_{i}"
+        refine_mods.append((
+            RefineNet(model.hidden_dim, model.refine_dilates, dtype=dtype),
+            {"params": params[name], "batch_stats": stats[name]},
+        ))
+
+    coarse_fn = make_sharded_coarse_fn(
+        mesh_disp, params["CostFilter3D_0"], stats["CostFilter3D_0"],
+        vol_disp, hidden_dim=model.hidden_dim, dtype=dtype)
+
+    def _n_spatial(padded_h: int) -> int:
+        """Largest shard count <= n with every pyramid level divisible (see
+        module docstring: uneven shards miscompile strided-conv chains)."""
+        coarse_rows = padded_h // align
+        for k in range(min(n, coarse_rows), 0, -1):
+            if coarse_rows % k == 0:
+                return k
+        return 1
+
+    stage_cache: dict = {}
+
+    def _stages(padded_h: int):
+        if padded_h in stage_cache:
+            return stage_cache[padded_h]
+        n_sp = _n_spatial(padded_h)
+        mesh_sp = Mesh(dev[:n_sp], ("spatial",))
+        rows = NamedSharding(mesh_sp, P(None, "spatial"))
+        repl = NamedSharding(mesh_sp, P())
+
+        @partial(jax.jit, out_shardings=(rows, rows, repl, repl))
+        def stage_encode(left, right):
+            # inputs already normalized + padded (forward below)
+            lf = encoder.apply(enc_vars, left, False)
+            rf = encoder.apply(enc_vars, right, False)
+            # features leave replicated (cheap: 1/8 res); padded images stay
+            # row-sharded for the refines
+            return left, right, lf, rf
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def stage_refine(disp, left, orig_h, orig_w):
+            x = disp[..., None].astype(left.dtype)
+            out_hw = left.shape[1:3]
+            multi_scale = []
+            for mod, mvars in refine_mods:
+                x = mod.apply(mvars, x, left, train=False)
+                multi_scale.append(
+                    _full_res_nearest(x, out_hw, (orig_h, orig_w)))
+            return [-1.0 * m for m in multi_scale]
+
+        stage_cache[padded_h] = (rows, repl, stage_encode, stage_refine)
+        return stage_cache[padded_h]
+
+    def forward(left_img, right_img):
+        orig_h, orig_w = left_img.shape[1:3]
+        # normalize BEFORE padding, like the model (pad value 0 = mid-gray
+        # in normalized space, reference mobile_stereo_net.py:121-130)
+        left_n = normalize_images(jnp.asarray(left_img), dtype)
+        right_n = normalize_images(jnp.asarray(right_img), dtype)
+        left_n, _ = pad_to_multiple(left_n, align)
+        right_n, _ = pad_to_multiple(right_n, align)
+        rows, repl, stage_encode, stage_refine = _stages(left_n.shape[1])
+
+        left_n = jax.device_put(left_n, rows)
+        right_n = jax.device_put(right_n, rows)
+        left, right, lf, rf = stage_encode(left_n, right_n)
+        sub = NamedSharding(mesh_disp, P())
+        lf = jax.device_put(lf, sub)
+        rf = jax.device_put(rf, sub)
+        disp = coarse_fn(lf, rf)          # shard_map over 'disp'
+        disp = jax.device_put(disp, repl)
+        return stage_refine(disp, left, orig_h, orig_w)
+
+    forward.coarse_fn = coarse_fn
+    return forward

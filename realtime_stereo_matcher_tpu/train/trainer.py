@@ -31,11 +31,12 @@ from flax.core import FrozenDict
 
 from realtime_stereo_matcher_tpu.config import ExperimentConfig
 from realtime_stereo_matcher_tpu.models import build_model
+from realtime_stereo_matcher_tpu.parallel.distributed import shard_host_batch
 from realtime_stereo_matcher_tpu.parallel.mesh import (
     make_mesh,
     replicated,
-    shard_batch,
 )
+from realtime_stereo_matcher_tpu.train.init import reference_initialize
 from realtime_stereo_matcher_tpu.train.loss import (
     build_loss_function,
     flow_map_metrics,
@@ -67,7 +68,17 @@ def create_train_state(exp_config: ExperimentConfig, rng_key=None,
     hw = tuple(sample_hw or (exp_config.data or DataConfig()).image_size)
     rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(1234)
     dummy = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
-    variables = model.init(rng_key, dummy, dummy, train=True)
+    # jit the init: eager init dispatches every conv separately, which costs
+    # minutes through the relayed TPU runtime (one compile instead)
+    variables = jax.jit(partial(model.init, train=True))(
+        rng_key, dummy, dummy)
+    # reference train-start init semantics (train/init.py), applied to fresh
+    # state only -- a later checkpoint restore wins (the reference clobbers
+    # restored weights by initializing afterwards, train_stereo.py:149-158;
+    # consciously fixed)
+    variables = reference_initialize(
+        dict(variables), jax.random.fold_in(rng_key, 7),
+        model_type=exp_config.model.type)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     state = TrainState(
@@ -122,8 +133,12 @@ def save_checkpoint(path, state: TrainState):
 
 def restore_checkpoint(path, state: TrainState) -> TrainState:
     ckptr = _checkpointer()
-    restored = ckptr.restore(os.path.abspath(path), item=jax.tree_util.tree_map(
-        np.asarray, state))
+    # template from metadata only -- np.asarray on live device arrays would
+    # issue one blocking device->host fetch per leaf (minutes through the
+    # relayed TPU runtime)
+    item = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype), state)
+    restored = ckptr.restore(os.path.abspath(path), item=item)
     return jax.tree_util.tree_map(jnp.asarray, restored)
 
 
@@ -200,25 +215,49 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
     total_steps = int(state.step)
     should_keep_training = True
     t_start = time.time()
+    # metric fetches are batched: materializing every step forces a full
+    # device round-trip per step through the relayed runtime and destroys
+    # dispatch pipelining (measured 3.5 s/step vs ~0.1 s compute)
+    pending: list = []
+    metric_keys: list = []
+
+    def flush_metrics():
+        if not pending:
+            return
+        steps_, vecs = zip(*pending)
+        vals = np.asarray(jax.device_get(jnp.stack(vecs)))
+        for s, row in zip(steps_, vals):
+            scalars = dict(zip(metric_keys, (float(x) for x in row)))
+            logger.write_scalars(s, {
+                "live_loss": scalars["live_loss"],
+                "learning_rate": float(schedule(s))})
+            logger.push(scalars)
+        pending.clear()
+
     while should_keep_training:
         for _, img1, img2, flow, valid in iter(data_loader):
-            assert img1.shape[0] % n_data == 0, (
-                f"batch {img1.shape[0]} not divisible by data axis {n_data}")
-            batch = shard_batch(mesh, (img1, img2, flow, valid))
+            global_b = img1.shape[0] * jax.process_count()
+            assert global_b % n_data == 0, (
+                f"global batch {global_b} not divisible by data axis {n_data}")
+            batch = shard_host_batch(mesh, (img1, img2, flow, valid))
             state, metrics = step_fn(state, *batch)
-            logger.write_scalars(total_steps, {
-                "live_loss": metrics["live_loss"],
-                "learning_rate": schedule(total_steps)})
-            logger.push({k: float(v) for k, v in metrics.items()})
+            if not metric_keys:
+                metric_keys = sorted(metrics)
+            pending.append((total_steps,
+                            jnp.stack([metrics[k] for k in metric_keys])))
             total_steps += 1
+            if len(pending) >= logger.sum_freq:
+                flush_metrics()
             if total_steps > num_steps:
                 should_keep_training = False
                 break
             if total_steps % exp_config.train.save_checkpoint_frequency == 0:
+                flush_metrics()
                 ckpt = ckpt_dir / f"{exp_name}-epoch-{total_steps}.ckpt"
                 ckpt.parent.mkdir(parents=True, exist_ok=True)
                 logging.info("Saving file %s...", ckpt)
                 save_checkpoint(ckpt, state)
+    flush_metrics()
     logging.info("FINISHED TRAINING! (%.1fs)", time.time() - t_start)
     logger.close()
     final = ckpt_dir / f"{exp_name}-epoch-{total_steps}.ckpt"

@@ -44,14 +44,21 @@ def timed_chain(jitted_step, init_carry, k: int, repeats: int = 3) -> float:
 
 def measure_latency(jitted_step, init_carry, k: int = 32,
                     repeats: int = 3) -> float:
-    """Per-iteration device latency in seconds via delta-K chained timing."""
+    """Per-iteration device latency in seconds via delta-K chained timing.
+
+    If the delta is swamped by fetch-overhead jitter (short chains on fast
+    models), fall back to the pessimistic whole-chain mean ``t_k / k`` rather
+    than reporting a clamped nonsense number."""
     t1 = timed_chain(jitted_step, init_carry, 1, repeats)
     tk = timed_chain(jitted_step, init_carry, k, repeats)
-    return max((tk - t1) / (k - 1), 1e-9)
+    delta = (tk - t1) / (k - 1)
+    if delta <= 0:
+        return tk / k
+    return delta
 
 
-def chain_forward_latency(forward, left, right, k: int = 8,
-                          repeats: int = 2) -> float:
+def chain_forward_latency(forward, left, right, k: int = 24,
+                          repeats: int = 3) -> float:
     """Chained latency of ``forward(left, right) -> [maps]`` at one shape.
 
     Feeds an epsilon of the final map back into the left image so successive

@@ -32,6 +32,13 @@ def main():
     )
     np.random.seed(1234)
 
+    # multi-host runtime (RSM_COORDINATOR / RSM_NUM_PROCESSES /
+    # RSM_PROCESS_ID env vars; no-op single-process) -- must run before any
+    # backend use
+    from realtime_stereo_matcher_tpu.parallel.distributed import initialize
+
+    initialize()
+
     from realtime_stereo_matcher_tpu.config import load_config
     from realtime_stereo_matcher_tpu.train.trainer import train
 
