@@ -30,6 +30,7 @@ from realtime_stereo_matcher_tpu.ops import (
     resize_bilinear,
     warp_by_flow_map,
     warp_by_flow_map_banded,
+    warp_by_flow_map_matmul,
 )
 
 LANES = k3.LANES
@@ -196,12 +197,15 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
         if warp_guidance:
             if r_guide.shape[-1] <= 8:
                 # banded static-shift warp: XLA's gather lowering is ~50x
-                # slower; wide guidance (v3) keeps the gather path (the
-                # unrolled band scales with C)
+                # slower and the unrolled band scales with shifts x C, so it
+                # only pays for narrow guidance (v2's RGB)
                 r_guide = warp_by_flow_map_banded(
                     r_guide.astype(dtype), disp.astype(dtype), max_shift)
             else:
-                r_guide = warp_by_flow_map(r_guide, disp)
+                # wide guidance (v3's 32ch pyramid): selection-matrix warp,
+                # C-dependent work on the MXU (ops/sampling.py)
+                r_guide = warp_by_flow_map_matmul(
+                    r_guide.astype(dtype), disp.astype(dtype))
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
 

@@ -68,6 +68,7 @@ from realtime_stereo_matcher_tpu.ops import (
     soft_argmin,
     warp_by_flow_map,
     warp_by_flow_map_banded,
+    warp_by_flow_map_matmul,
 )
 
 
@@ -311,12 +312,16 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
             if r_guide.shape[-1] <= 8:
                 # banded (gather/scatter-free) warp: XLA's gather lowering
                 # costs ~17 ms per level fwd+bwd at batch 8, 240x320.  The
-                # unrolled band scales with C, so wide guidance (v3's
-                # 32-channel pyramid features) keeps the gather path.
+                # unrolled band scales with shifts x C, so it only pays for
+                # narrow guidance (v2's RGB).
                 r_guide = warp_by_flow_map_banded(
                     r_guide.astype(dtype), disp.astype(dtype), max_shift)
             else:
-                r_guide = warp_by_flow_map(r_guide, disp)
+                # wide guidance (v3's 32-channel pyramid features): per-row
+                # selection-matrix warp -- the C-dependent work runs as MXU
+                # matmuls in both directions (ops/sampling.py)
+                r_guide = warp_by_flow_map_matmul(
+                    r_guide.astype(dtype), disp.astype(dtype))
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
     bn_updates = {}

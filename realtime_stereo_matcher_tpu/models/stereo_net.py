@@ -46,6 +46,7 @@ from realtime_stereo_matcher_tpu.ops import (
     resize_nearest,
     soft_argmin,
     warp_by_flow_map,
+    warp_by_flow_map_matmul,
 )
 
 
@@ -112,7 +113,14 @@ class RefineNet(nn.Module):
             if r_guide.shape[1:3] != (h2, w2):
                 r_guide = resize_bilinear(r_guide, (h2, w2))
             if self.warp_guidance:
-                r_guide = warp_by_flow_map(r_guide, disp)
+                if r_guide.shape[-1] > 8:
+                    # wide guidance (v3's 32ch pyramid): selection-matrix warp
+                    # puts the C-dependent work on the MXU; mathematically
+                    # identical to the gather path for 1-channel flows
+                    # (ops/sampling.py, ~10x fwd+bwd at the full-res level)
+                    r_guide = warp_by_flow_map_matmul(r_guide, disp)
+                else:
+                    r_guide = warp_by_flow_map(r_guide, disp)
             feats.append(r_guide)
         x = jnp.concatenate(feats, axis=-1)
 

@@ -18,6 +18,7 @@ from realtime_stereo_matcher_tpu.ops.sampling import (
     resize_trilinear,
     warp_by_flow_map,
     warp_by_flow_map_banded,
+    warp_by_flow_map_matmul,
 )
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "resize_trilinear",
     "warp_by_flow_map",
     "warp_by_flow_map_banded",
+    "warp_by_flow_map_matmul",
 ]

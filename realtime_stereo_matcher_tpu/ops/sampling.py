@@ -181,6 +181,69 @@ def warp_by_flow_map(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return grid_sample_2d(image, x_pix, y_pix)
 
 
+def _vertical_identity_blend(image: jnp.ndarray) -> jnp.ndarray:
+    """Static two-row blend implementing the vertical half of the reference's
+    align_corners=False renormalization (``y_pix = r * h/(h-1) - 0.5``) for
+    1-channel horizontal flows, where the sampled row is fixed per output row.
+    Shared by the banded and matmul warps."""
+    b, h, w, c = image.shape
+    dt = image.dtype
+    r = np.arange(h)
+    y_pix = r * (h / (h - 1.0)) - 0.5
+    y0 = np.floor(y_pix).astype(np.int32)
+    ty = (y_pix - y0).astype(np.float32)
+    wa = jnp.asarray((1.0 - ty) * ((y0 >= 0) & (y0 < h)), dt)
+    wb = jnp.asarray(ty * ((y0 + 1 >= 0) & (y0 + 1 < h)), dt)
+    ia = jnp.asarray(np.clip(y0, 0, h - 1))
+    ib = jnp.asarray(np.clip(y0 + 1, 0, h - 1))
+    return (jnp.take(image, ia, axis=1) * wa[None, :, None, None]
+            + jnp.take(image, ib, axis=1) * wb[None, :, None, None])
+
+
+def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal-flow warp as a per-row selection-matrix contraction (MXU).
+
+    Mathematically equal to :func:`warp_by_flow_map` for 1-channel flows of
+    *any* magnitude (no band limit): each output row is ``P @ row`` where
+    ``P[x, j]`` holds the two bilinear tap weights of output pixel ``x`` on
+    input pixel ``j`` (zero outside the image -- torch's
+    ``padding_mode='zeros'``).  ``P`` is built from the flow by iota
+    comparisons -- O(W^2) cheap VPU compares per row, C-independent -- and the
+    contraction runs on the MXU as a (B*H)-batched (W, W) @ (W, C) matmul, so
+    the per-channel cost that makes XLA's gather lowering slow (~17 ms per
+    32-channel refine level fwd+bwd at batch 8, 240x320) and the unrolled
+    band's VPU cost (scales with shifts x C) both collapse into dense matmul
+    FLOPs.  Gradients are matmuls too (d_image = P^T @ g, d_flow via
+    g @ image^T), with no scatter anywhere.
+
+    Args:
+      image: (B, H, W, C).
+      flow: (B, H, W, 1) horizontal flow (the models pass positive disparity
+        before the final negation).
+
+    Returns:
+      (B, H, W, C) warped image, bit-matched to the gather path's semantics.
+    """
+    b, h, w, c = image.shape
+    assert flow.shape[-1] == 1, flow.shape
+    dt = image.dtype
+
+    blend = _vertical_identity_blend(image)
+
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x_pix = (gx - flow[..., 0].astype(jnp.float32)) * (w / (w - 1.0)) - 0.5
+    x0f = jnp.floor(x_pix)
+    tx = (x_pix - x0f).astype(dt)[..., None]                  # (B, H, W, 1)
+    x0 = x0f.astype(jnp.int32)[..., None]                     # (B, H, W, 1)
+    j = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]   # iota over taps
+    # one-hot taps vanish for x0 outside [0, w) = zeros padding semantics
+    p = (jnp.where(j == x0, 1.0 - tx, jnp.zeros((), dt))
+         + jnp.where(j == x0 + 1, tx, jnp.zeros((), dt)))     # (B, H, W, W)
+    return jax.lax.dot_general(
+        p, blend, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32).astype(dt)
+
+
 def warp_by_flow_map_banded(image: jnp.ndarray, flow: jnp.ndarray,
                             max_shift: int) -> jnp.ndarray:
     """Horizontal-flow warp as a banded sum of STATIC shifts -- gather-free.
@@ -209,16 +272,7 @@ def warp_by_flow_map_banded(image: jnp.ndarray, flow: jnp.ndarray,
     dt = image.dtype
 
     # vertical: y_pix = r * h/(h-1) - 0.5 -- static per row
-    r = np.arange(h)
-    y_pix = r * (h / (h - 1.0)) - 0.5
-    y0 = np.floor(y_pix).astype(np.int32)
-    ty = (y_pix - y0).astype(np.float32)
-    wa = jnp.asarray((1.0 - ty) * ((y0 >= 0) & (y0 < h)), dt)
-    wb = jnp.asarray(ty * ((y0 + 1 >= 0) & (y0 + 1 < h)), dt)
-    ia = jnp.asarray(np.clip(y0, 0, h - 1))
-    ib = jnp.asarray(np.clip(y0 + 1, 0, h - 1))
-    blend = (jnp.take(image, ia, axis=1) * wa[None, :, None, None]
-             + jnp.take(image, ib, axis=1) * wb[None, :, None, None])
+    blend = _vertical_identity_blend(image)
 
     # horizontal: x_pix = (x + disp_neg) * w/(w-1) - 0.5 with disp_neg =
     # flow <= 0; tap offset k = x - floor(x_pix) in [0, max_shift + 1]

@@ -131,3 +131,34 @@ def test_banded_warp_matches_gather_warp(rng):
     for a, b in zip(g_new, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_warp_matches_gather_warp(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import (
+        warp_by_flow_map,
+        warp_by_flow_map_matmul,
+    )
+
+    img = jnp.asarray(rng.standard_normal((2, 10, 48, 5)).astype(np.float32))
+    # no band limit: include flows past the image edge (zeros padding) and
+    # slightly negative values (refine deltas can momentarily overshoot)
+    flow = jnp.asarray(rng.uniform(-3, 60, (2, 10, 48, 1)).astype(np.float32))
+
+    want = warp_by_flow_map(img, flow)
+    got = warp_by_flow_map_matmul(img, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        def f(im, fl):
+            return jnp.sum(fn(im, fl).astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(warp_by_flow_map), argnums=(0, 1))(img, flow)
+    g_new = jax.grad(loss(warp_by_flow_map_matmul), argnums=(0, 1))(img, flow)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
