@@ -226,17 +226,38 @@ class InterweaveVolume(nn.Module):
         # in_bounds[j, x] for x >= shift j (2D mask, broadcast per use)
         keep = colw[None, :] >= shifts[:, None]             # (n_s, W)
         at_s = colw[None, :] == shifts[:, None]
-        idx = jnp.maximum(colw[None, :] - shifts[:, None], 0)
-        stack = jnp.take(bc, idx, axis=2)                   # (B,H,n_s,W,C)
-        stack = jnp.transpose(stack, (0, 2, 1, 3, 4))       # (B,n_s,H,W,C)
+        if isinstance(s0, int):
+            # static shifts: column-0-replicated left fill reproduces the
+            # clamped gather exactly, but autodiff transposes to pads/slices
+            # instead of a 48-way scatter-add (XLA's TPU scatter lowering is
+            # both slow to run and pathologically slow to compile here)
+            def shifted(s):
+                s = min(s, w - 1)
+                if s == 0:
+                    return bc
+                fill = jnp.broadcast_to(bc[:, :, :1],
+                                        (b, h, s, bc.shape[-1]))
+                return jnp.concatenate([fill, bc[:, :, :w - s]], axis=2)
+
+            stack = jnp.stack([shifted(s0 + j) for j in range(n_s)],
+                              axis=1)                       # (B,n_s,H,W,C)
+        else:
+            idx = jnp.maximum(colw[None, :] - shifts[:, None], 0)
+            stack = jnp.take(bc, idx, axis=2)               # (B,H,n_s,W,C)
+            stack = jnp.transpose(stack, (0, 2, 1, 3, 4))   # (B,n_s,H,W,C)
         m = lambda q: q[None, :, None, :, None]
         z = a[:, None] + stack
         z = z - jnp.where(m(at_s), 1.0, 0.0) * ct[:, None]
         # right-edge: at global column W-1 (shift >= 1), remove convR's
         # right-tap contribution R[W - s] the sliced reference never saw
-        last_idx = jnp.clip(w - 1 - shifts, 0, w - 1)       # (n_s,)
-        cr_last = jnp.take(cr, last_idx, axis=2)            # (B,H,n_s,C)
-        cr_last = jnp.transpose(cr_last, (0, 2, 1, 3))      # (B,n_s,H,C)
+        if isinstance(s0, int):
+            cr_last = jnp.stack(
+                [cr[:, :, min(max(w - 1 - (s0 + j), 0), w - 1)]
+                 for j in range(n_s)], axis=1)              # (B,n_s,H,C)
+        else:
+            last_idx = jnp.clip(w - 1 - shifts, 0, w - 1)   # (n_s,)
+            cr_last = jnp.take(cr, last_idx, axis=2)        # (B,H,n_s,C)
+            cr_last = jnp.transpose(cr_last, (0, 2, 1, 3))  # (B,n_s,H,C)
         rmask = (shifts >= 1)[None, :, None, None]
         z = z.at[:, :, :, w - 1, :].add(
             -jnp.where(rmask, cr_last, 0.0).astype(z.dtype))
