@@ -49,10 +49,10 @@ class StereoDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _epoch_indices(self):
+    def _epoch_indices(self, epoch: int):
         n = len(self.dataset)
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+            rng = np.random.default_rng(self.seed + epoch)
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
@@ -60,11 +60,16 @@ class StereoDataLoader:
         return idx[self.shard_id::self.num_shards]
 
     def __iter__(self):
-        indices = self._epoch_indices()
+        # the epoch advances HERE, when the iterator is created -- an explicit
+        # contract (each __iter__ call is one epoch draw), not a side effect
+        # of generator finalization that would depend on refcounting GC if a
+        # consumer abandons the iterator mid-epoch
+        epoch = self.epoch
+        self.epoch += 1
+        indices = self._epoch_indices(epoch)
         nb = len(indices) // self.batch_size if self.drop_last else (
             (len(indices) + self.batch_size - 1) // self.batch_size)
         if nb == 0:
-            self.epoch += 1
             return iter(())
 
 
@@ -76,8 +81,6 @@ class StereoDataLoader:
 
         for b in range(nb):
             sample_q.put((b, indices[b * self.batch_size:(b + 1) * self.batch_size]))
-
-        epoch = self.epoch
 
         def worker():
             while not stop.is_set():
@@ -130,7 +133,6 @@ class StereoDataLoader:
                     yield item
             finally:
                 stop.set()
-                self.epoch += 1
 
         return gen()
 

@@ -195,17 +195,20 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
         if r_guide.shape[1:3] != (h2, w2):
             r_guide = resize_bilinear(r_guide, (h2, w2))
         if warp_guidance:
+            # the flow stays f32: both warps upcast it internally, and a
+            # bf16 cast here would quantize the sample position to whole
+            # pixels near max_disp (bf16 ulp is 1.0 in [128, 256))
             if r_guide.shape[-1] <= 8:
                 # banded static-shift warp: XLA's gather lowering is ~50x
                 # slower and the unrolled band scales with shifts x C, so it
                 # only pays for narrow guidance (v2's RGB)
                 r_guide = warp_by_flow_map_banded(
-                    r_guide.astype(dtype), disp.astype(dtype), max_shift)
+                    r_guide.astype(dtype), disp, max_shift)
             else:
                 # wide guidance (v3's 32ch pyramid): selection-matrix warp,
                 # C-dependent work on the MXU (ops/sampling.py)
                 r_guide = warp_by_flow_map_matmul(
-                    r_guide.astype(dtype), disp.astype(dtype))
+                    r_guide.astype(dtype), disp)
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
 

@@ -91,6 +91,7 @@ def correlation_cost_volume(
     *,
     use_matmul: bool = True,
     mean: bool = True,
+    w_chunk: int = 512,
 ):
     """Mean-correlation volume (reference model/mobile_disp_net_c.py:188-205).
 
@@ -98,9 +99,14 @@ def correlation_cost_volume(
     ``x >= d``, else 0.
 
     Two equivalent implementations:
-      * ``use_matmul=True`` (default, TPU/MXU path): one batched matmul
-        ``(B*H, W, C) @ (B*H, C, W) -> (B*H, W, W)`` followed by a static
-        banded gather.  Runs on the 128x128 systolic array.
+      * ``use_matmul=True`` (default, TPU/MXU path): batched matmuls
+        ``(B*H, Wb, C) @ (B*H, C, Wb + D) -> (B*H, Wb, Wb + D)`` over
+        left-column blocks of ``w_chunk``, each followed by a static banded
+        gather.  Runs on the 128x128 systolic array; the block structure
+        bounds the correlation intermediate at O(B*H*Wb*(Wb+D)) -- without it
+        the single (W x W) product is quadratic in image width (~7.5 GB f32
+        at batch-1 720p full res).  DispNetC calls this at 1/4 res where one
+        block suffices.
       * elementwise path: shift-stack multiply-reduce (VPU), used as the
         semantic reference in tests.
 
@@ -110,23 +116,29 @@ def correlation_cost_volume(
     b, h, w, c = left.shape
     scale = (1.0 / c) if mean else 1.0
     if use_matmul:
-        # full (W x W) row-wise correlation on the MXU
         lf = left.reshape(b * h, w, c)
         rf = right.reshape(b * h, w, c)
-        full = jax.lax.dot_general(
-            lf,
-            rf,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (B*H, W_left, W_right)
-        full = full.reshape(b, h, w, w)
-        idx, valid = _shift_indices(w, max_disp)  # (D, W)
-        # out[b, h, x, d] = full[b, h, x, x - d]
-        gather_idx = jnp.transpose(idx)  # (W, D): [x, d] -> x - d
-        band = jnp.take_along_axis(
-            full, gather_idx[None, None, :, :], axis=3
-        )  # (B, H, W, D)
-        band = jnp.transpose(band, (0, 3, 1, 2))  # (B, D, H, W)
+        _, valid = _shift_indices(w, max_disp)  # (D, W)
+        parts = []
+        for s in range(0, w, w_chunk):
+            e = min(s + w_chunk, w)
+            lo = max(0, s - max_disp + 1)
+            # rows [s, e) of the W x W correlation only read right columns
+            # [s - D + 1, e)
+            blk = jax.lax.dot_general(
+                lf[:, s:e],
+                rf[:, lo:e],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, h, e - s, e - lo)
+            # out[b, h, x, d] = blk[b, h, x - s, x - d - lo]
+            xs = jnp.arange(s, e, dtype=jnp.int32)[:, None]
+            ds = jnp.arange(max_disp, dtype=jnp.int32)[None, :]
+            gather_idx = jnp.clip(xs - ds - lo, 0, e - lo - 1)  # (Wb, D)
+            parts.append(jnp.take_along_axis(
+                blk, gather_idx[None, None, :, :], axis=3))     # (B,H,Wb,D)
+        band = jnp.concatenate(parts, axis=2)       # (B, H, W, D)
+        band = jnp.transpose(band, (0, 3, 1, 2))    # (B, D, H, W)
         vmask = valid[None, :, None, :]  # (1, D, 1, W)
         out = jnp.where(vmask, band * scale, 0.0)
         return out.astype(left.dtype)

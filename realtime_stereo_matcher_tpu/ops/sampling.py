@@ -200,7 +200,34 @@ def _vertical_identity_blend(image: jnp.ndarray) -> jnp.ndarray:
             + jnp.take(image, ib, axis=1) * wb[None, :, None, None])
 
 
-def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def _selection_warp_rows(blend: jnp.ndarray, flow_x: jnp.ndarray,
+                         w: int) -> jnp.ndarray:
+    """Selection-matrix contraction on a (B, Hb, W, C) row block.
+
+    Builds ``P[x, j]`` -- the two bilinear tap weights of output pixel ``x``
+    on input pixel ``j`` -- by iota comparisons and contracts on the MXU.
+    """
+    dt = blend.dtype
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x_pix = (gx - flow_x.astype(jnp.float32)) * (w / (w - 1.0)) - 0.5
+    x0f = jnp.floor(x_pix)
+    tx = (x_pix - x0f).astype(dt)[..., None]                  # (B, Hb, W, 1)
+    x0 = x0f.astype(jnp.int32)[..., None]                     # (B, Hb, W, 1)
+    j = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]   # iota over taps
+    # one-hot taps vanish for x0 outside [0, w) = zeros padding semantics
+    p = (jnp.where(j == x0, 1.0 - tx, jnp.zeros((), dt))
+         + jnp.where(j == x0 + 1, tx, jnp.zeros((), dt)))     # (B, Hb, W, W)
+    return jax.lax.dot_general(
+        p, blend, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32).astype(dt)
+
+
+# peak bytes allowed for the (B, Hb, W, W) selection matrix of one row block
+_SELECTION_BLOCK_BYTES = 128 * 1024 * 1024
+
+
+def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray, *,
+                            row_block: int | None = None) -> jnp.ndarray:
     """Horizontal-flow warp as a per-row selection-matrix contraction (MXU).
 
     Mathematically equal to :func:`warp_by_flow_map` for 1-channel flows of
@@ -216,10 +243,18 @@ def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarra
     FLOPs.  Gradients are matmuls too (d_image = P^T @ g, d_flow via
     g @ image^T), with no scatter anywhere.
 
+    ``P`` is an O(W^2)-memory intermediate (~2.4 GB bf16 at batch-1 720p, and
+    needed again by both backward products), so rows are processed in blocks
+    of ``row_block`` under a ``lax.scan`` with rematerialization: peak memory
+    is one block's ``(B, Hb, W, W)`` in forward AND backward (the block's
+    ``P`` is rebuilt from the flow, which is cheap VPU compares).  The
+    default block size bounds the block matrix at ~128 MB.
+
     Args:
       image: (B, H, W, C).
       flow: (B, H, W, 1) horizontal flow (the models pass positive disparity
         before the final negation).
+      row_block: rows per scan step (must divide H); default auto-sized.
 
     Returns:
       (B, H, W, C) warped image, bit-matched to the gather path's semantics.
@@ -229,19 +264,28 @@ def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarra
     dt = image.dtype
 
     blend = _vertical_identity_blend(image)
+    flow_x = flow[..., 0]
 
-    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    x_pix = (gx - flow[..., 0].astype(jnp.float32)) * (w / (w - 1.0)) - 0.5
-    x0f = jnp.floor(x_pix)
-    tx = (x_pix - x0f).astype(dt)[..., None]                  # (B, H, W, 1)
-    x0 = x0f.astype(jnp.int32)[..., None]                     # (B, H, W, 1)
-    j = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]   # iota over taps
-    # one-hot taps vanish for x0 outside [0, w) = zeros padding semantics
-    p = (jnp.where(j == x0, 1.0 - tx, jnp.zeros((), dt))
-         + jnp.where(j == x0 + 1, tx, jnp.zeros((), dt)))     # (B, H, W, W)
-    return jax.lax.dot_general(
-        p, blend, (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32).astype(dt)
+    if row_block is None:
+        per_row = b * w * w * jnp.dtype(dt).itemsize
+        row_block = max(1, min(h, _SELECTION_BLOCK_BYTES // max(per_row, 1)))
+        while h % row_block:
+            row_block -= 1
+    assert h % row_block == 0, (h, row_block)
+    nb = h // row_block
+    if nb == 1:
+        return _selection_warp_rows(blend, flow_x, w)
+
+    xs = (jnp.moveaxis(blend.reshape(b, nb, row_block, w, c), 1, 0),
+          jnp.moveaxis(flow_x.reshape(b, nb, row_block, w), 1, 0))
+
+    @jax.checkpoint
+    def step(_, x):
+        bl, fl = x
+        return None, _selection_warp_rows(bl, fl, w)
+
+    _, out = jax.lax.scan(step, None, xs)
+    return jnp.moveaxis(out, 0, 1).reshape(b, h, w, c)
 
 
 def warp_by_flow_map_banded(image: jnp.ndarray, flow: jnp.ndarray,

@@ -141,3 +141,16 @@ def test_soft_argmin_trilinear_bf16_resize_close(rng):
         vol.astype(jnp.bfloat16), 48, (24, 40), chunk=16))
     err = np.abs(got - want)
     assert float(np.median(err)) < 0.25, float(np.median(err))
+
+
+def test_correlation_volume_chunked(rng):
+    # left-column chunking must be exact: each block reads only the right
+    # columns its band needs (ops/cost_volume.py w_chunk)
+    left = rng.standard_normal((2, 3, 37, 8), dtype=np.float32)
+    right = rng.standard_normal((2, 3, 37, 8), dtype=np.float32)
+    want = np.asarray(correlation_cost_volume(
+        jnp.asarray(left), jnp.asarray(right), 9, use_matmul=False))
+    for chunk in (5, 9, 16, 37, 64):
+        got = np.asarray(correlation_cost_volume(
+            jnp.asarray(left), jnp.asarray(right), 9, w_chunk=chunk))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

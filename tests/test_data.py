@@ -170,3 +170,22 @@ def test_rgb_lab_roundtrip_and_transfer_color(rng):
     out_lab = rgb_to_lab(np.clip(out, 0, 255) / 255.0)
     np.testing.assert_allclose(out_lab.mean((0, 1)), style_mean[0, 0], atol=0.75)
     np.testing.assert_allclose(out_lab.std((0, 1)), style_std[0, 0], atol=0.75)
+
+
+def test_loader_epoch_advances_on_abandoned_iterator(tmp_path, rng):
+    """Breaking out mid-epoch must still advance the epoch: the advance is an
+    explicit __iter__ contract, not a GC-dependent generator-finalization
+    side effect (data/loader.py)."""
+    root = _make_kitti(tmp_path, rng)
+    ds = KITTI(aug_params=None, root=str(root))
+    loader = StereoDataLoader(ds, batch_size=1, num_workers=1, seed=3)
+    it = iter(loader)
+    next(it)  # abandon mid-epoch, keep a live reference (no refcount GC)
+    assert loader.epoch == 1
+    first_files = [b[0][0] for b in iter(loader)]
+    assert loader.epoch == 2
+    del it
+    # epoch-2 draw differs from epoch-1's permutation (6 samples)
+    second_files = [b[0][0] for b in iter(loader)]
+    assert loader.epoch == 3
+    assert first_files != second_files

@@ -162,3 +162,56 @@ def test_matmul_warp_matches_gather_warp(rng):
     for a, b in zip(g_new, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_warp_bf16_production_dtype(rng):
+    """The production path runs bf16 images with an f32 flow; pin its
+    numerics to the bf16 gather path (weight truncation + f32-accumulated
+    dot_general)."""
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import (
+        warp_by_flow_map,
+        warp_by_flow_map_matmul,
+    )
+
+    img = jnp.asarray(rng.standard_normal((2, 10, 48, 32)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-3, 40, (2, 10, 48, 1)).astype(np.float32))
+
+    want = np.asarray(warp_by_flow_map(img.astype(jnp.bfloat16), flow),
+                      np.float32)
+    got = np.asarray(warp_by_flow_map_matmul(img.astype(jnp.bfloat16), flow),
+                     np.float32)
+    # both paths quantize taps/weights to bf16; accumulation differs (f32
+    # dot_general vs elementwise) -> one-bf16-ulp tolerance on O(1) values
+    np.testing.assert_allclose(got, want, rtol=0.03, atol=0.03)
+
+
+def test_matmul_warp_row_block_tiling(rng):
+    """Row-block scan (memory bounding) must be exact vs the one-shot path,
+    value and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import warp_by_flow_map_matmul
+
+    img = jnp.asarray(rng.standard_normal((2, 12, 32, 5)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(0, 20, (2, 12, 32, 1)).astype(np.float32))
+
+    want = warp_by_flow_map_matmul(img, flow, row_block=12)   # single block
+    for rb in (1, 3, 4, 6):
+        got = warp_by_flow_map_matmul(img, flow, row_block=rb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(rb):
+        def f(im, fl):
+            out = warp_by_flow_map_matmul(im, fl, row_block=rb)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(12), argnums=(0, 1))(img, flow)
+    g_new = jax.grad(loss(3), argnums=(0, 1))(img, flow)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
