@@ -68,6 +68,7 @@ def test_cost_analysis_generic():
     assert abs(cost.get("flops", 0.0) - 2 * 128 * 256 * 64) / (2 * 128 * 256 * 64) < 0.1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_type,params", [
     ("MobileStereoNetV4", {"max_disp": 32, "volume_size": 8, "hg_size": 8}),
     ("MobileDispNetC", {"max_disp": 32}),

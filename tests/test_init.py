@@ -13,6 +13,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -124,6 +125,7 @@ def test_dispnetc_init_statistics():
     assert (b == 0).all()
 
 
+@pytest.mark.slow
 def test_v4_init_statistics():
     torch.manual_seed(0)
     ref = _load_ref("mobile_stereo_net_v4")

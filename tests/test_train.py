@@ -106,6 +106,7 @@ def test_onecycle_schedule_matches_torch():
     assert mid > late
 
 
+@pytest.mark.slow
 def test_train_step_v4_descends(tmp_path, rng):
     """Gradients flow through the decomposed interweave volume (block-diag
     kernel embeddings, shift-gather, per-layer masks) and the online-softmax
