@@ -266,8 +266,12 @@ def _build_kernel(th, wc, wt, dilation, relu, has_res, f, n, offs,
         scale = sb_ref[0]
         bias = sb_ref[1]
         y = acc_ref[:] * scale[None, :] + bias[None, :]
-        if relu:
+        # relu: True = ReLU, a float alpha = leaky ReLU (e.g. 0.2 for the
+        # v3 U-Net extractor's leaky_relu_02), falsy = identity
+        if relu is True:
             y = jnp.maximum(y, 0.0)
+        elif relu:
+            y = jnp.maximum(y, 0.0) + relu * jnp.minimum(y, 0.0)
         y = y.astype(ys2.dtype)
         if has_res:
             res_copy(i, slot).wait()

@@ -99,6 +99,14 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
 
     enc_plan = None
     if variant == "v3":
+        # NOTE on the U-Net: a kernelized extractor exists (kernels/unet.py,
+        # parity-pinned) but is NOT wired here -- measured 2 x 17.8 ms per
+        # view vs 31.5 ms for this batch-2 XLA pass at 720p: the fused convs
+        # win 4x but the XLA glue between them (stem, k4s2, up-projection
+        # interleave, 1x1 skip-mix -- all layout-bound at C<=64) dominates.
+        # The remaining lever is keeping the whole U-Net in the flat lane
+        # layout (future work); multi-chip v3 scales via
+        # parallel/sharded_infer.py spatial sharding instead.
         extractor = UNetFeatureExtractor(
             hidden_dims=(model.hidden_dim,) * (down + 1), dtype=dtype)
         enc_vars = {"params": params["UNetFeatureExtractor_0"],

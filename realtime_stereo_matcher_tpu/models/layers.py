@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,12 +32,90 @@ def torch_pad(p: int | tuple, ndim: int = 2):
     return tuple((x, x) for x in p)
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm over ``groups`` independent sub-batches stacked along axis 0.
+
+    ``x`` is (G*b, ..., C); each group of ``b`` consecutive images is
+    normalized by its OWN batch statistics, and the running stats receive the
+    groups' updates *sequentially* in group order (closed form:
+    ``r' = m^G r + sum_g m^(G-1-g) (1-m) batch_g``).  With G=1 this is
+    exactly ``nn.BatchNorm``.
+
+    This makes one batched pass bit-equivalent (in train mode) to applying
+    the same module G times on the sub-batches in sequence -- the pattern the
+    reference uses for its siamese extractors (e.g. reference
+    mobile_stereo_net_v4.py:434-441 runs feature_extraction on left then
+    right, updating each BatchNorm twice).  Batching the two passes halves
+    the XLA op count without changing training dynamics.
+
+    Parameter/stat tree matches ``nn.BatchNorm`` (scale/bias + mean/var), so
+    it is a drop-in replacement under the same module name.
+    """
+
+    groups: int = 2
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        dt = self.dtype or x.dtype
+        g = self.groups
+        assert x.shape[0] % g == 0, (x.shape, g)
+
+        if self.use_running_average:
+            mu = jnp.asarray(ra_mean.value, jnp.float32)
+            var = jnp.asarray(ra_var.value, jnp.float32)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            s = (jnp.asarray(scale, jnp.float32) * inv).astype(dt)
+            b = (jnp.asarray(bias, jnp.float32) - mu * jnp.asarray(
+                scale, jnp.float32) * inv).astype(dt)
+            return x.astype(dt) * s + b
+
+        xg = x.reshape(g, -1, *x.shape[1:])          # (G, b, ..., C)
+        red = tuple(range(1, xg.ndim - 1))
+        xf = xg.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=red)                  # (G, C)
+        var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mu)
+        if not self.is_initializing():
+            m = self.momentum
+            w = m ** jnp.arange(g - 1, -1, -1, dtype=jnp.float32)  # (G,)
+            upd = (1.0 - m) * jnp.einsum("g,gc->c", w, mu)
+            ra_mean.value = m ** g * jnp.asarray(ra_mean.value,
+                                                 jnp.float32) + upd
+            upd_v = (1.0 - m) * jnp.einsum("g,gc->c", w, var)
+            ra_var.value = m ** g * jnp.asarray(ra_var.value,
+                                                jnp.float32) + upd_v
+        inv = jax.lax.rsqrt(var + self.epsilon)      # (G, C)
+        s = (jnp.asarray(scale, jnp.float32)[None] * inv)
+        b = (jnp.asarray(bias, jnp.float32)[None]
+             - mu * jnp.asarray(scale, jnp.float32)[None] * inv)
+        bshape = (g,) + (1,) * (xg.ndim - 2) + (x.shape[-1],)
+        out = xg.astype(dt) * s.reshape(bshape).astype(dt) \
+            + b.reshape(bshape).astype(dt)
+        return out.reshape(x.shape)
+
+
 class ConvBN(nn.Module):
     """Conv (2D or 3D) + BatchNorm + optional activation.
 
     The workhorse for the reference's ``conv_3x3`` / ``convbn`` /
     ``cost_filter`` stacks (reference model/mobile_stereo_net.py:30-43,103-117,
     model/mobile_stereo_net_v4.py:208-220).
+
+    ``bn_groups > 1``: the leading batch axis carries that many independent
+    sub-batches (e.g. a siamese extractor's left/right stacked) -- BatchNorm
+    runs as :class:`GroupedBatchNorm` with per-group statistics and
+    sequential running updates, keeping train-mode numerics identical to
+    separate per-view passes while the convs run batched.
     """
 
     features: int
@@ -48,6 +127,7 @@ class ConvBN(nn.Module):
     use_bn: bool = True
     use_bias: bool = False
     act: Callable | None = nn.relu
+    bn_groups: int = 1
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -63,12 +143,22 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
-                dtype=self.dtype,
-            )(x)
+            if self.bn_groups > 1:
+                x = GroupedBatchNorm(
+                    groups=self.bn_groups,
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    dtype=self.dtype,
+                    name="BatchNorm_0",
+                )(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    dtype=self.dtype,
+                )(x)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -125,6 +215,7 @@ class MobileV2Residual(nn.Module):
     stride: int
     expanse_ratio: int
     dilation: int = 1
+    bn_groups: int = 1
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -136,7 +227,7 @@ class MobileV2Residual(nn.Module):
         y = x
         if self.expanse_ratio != 1:
             y = ConvBN(hidden, kernel_size=(1, 1), padding="VALID", act=relu6,
-                       dtype=self.dtype)(y, train)
+                       bn_groups=self.bn_groups, dtype=self.dtype)(y, train)
         y = ConvBN(
             hidden,
             kernel_size=(3, 3),
@@ -145,10 +236,11 @@ class MobileV2Residual(nn.Module):
             dilation=(self.dilation, self.dilation),
             groups=hidden,
             act=relu6,
+            bn_groups=self.bn_groups,
             dtype=self.dtype,
         )(y, train)
         y = ConvBN(self.features, kernel_size=(1, 1), padding="VALID", act=None,
-                   dtype=self.dtype)(y, train)
+                   bn_groups=self.bn_groups, dtype=self.dtype)(y, train)
         return x + y if use_res else y
 
 
@@ -162,6 +254,7 @@ class ConvBNDws(nn.Module):
     pad: int
     dilation: int
     second_relu: bool = True
+    bn_groups: int = 1
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -175,10 +268,12 @@ class ConvBNDws(nn.Module):
             dilation=(self.dilation, self.dilation),
             groups=self.in_features,
             act=relu6,
+            bn_groups=self.bn_groups,
             dtype=self.dtype,
         )(x, train)
         x = ConvBN(self.features, kernel_size=(1, 1), padding="VALID",
-                   act=relu6 if self.second_relu else None, dtype=self.dtype)(x, train)
+                   act=relu6 if self.second_relu else None,
+                   bn_groups=self.bn_groups, dtype=self.dtype)(x, train)
         return x
 
 
@@ -191,18 +286,22 @@ class MobileV1Residual(nn.Module):
     downsample: bool
     pad: int
     dilation: int
+    bn_groups: int = 1
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = ConvBNDws(self.in_features, self.features, self.stride, self.pad,
-                        self.dilation, dtype=self.dtype)(x, train)
+                        self.dilation, bn_groups=self.bn_groups,
+                        dtype=self.dtype)(x, train)
         out = ConvBNDws(self.features, self.features, 1, self.pad, self.dilation,
-                        second_relu=False, dtype=self.dtype)(out, train)
+                        second_relu=False, bn_groups=self.bn_groups,
+                        dtype=self.dtype)(out, train)
         if self.downsample:
             x = ConvBN(self.features, kernel_size=(1, 1),
                        strides=(self.stride, self.stride), padding="VALID",
-                       act=None, dtype=self.dtype)(x, train)
+                       act=None, bn_groups=self.bn_groups,
+                       dtype=self.dtype)(x, train)
         return out + x
 
 

@@ -22,6 +22,8 @@ Sign/semantics parity with the reference:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -185,6 +187,63 @@ def interweave_volume(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     return stacked.reshape(*left.shape[:-1], 2 * left.shape[-1])
 
 
+def _depth_interp_weights(out_d: int, s: int, chunk: int):
+    """Static per-chunk depth-lerp gathers (i0, i1, t, d) plus the transposed
+    scatter matrices W[jj, s] = (1-t)*(i0==s) + t*(i1==s) used by the
+    custom-VJP backward (one MXU contraction instead of a scatter-add)."""
+    import numpy as np
+
+    # pure-numpy re-derivation of sampling._linear_indices_weights (this
+    # runs at trace time, possibly inside jit -- jnp constants would be
+    # tracers there)
+    x = (np.arange(out_d, dtype=np.float32) + 0.5) * (s / out_d) - 0.5
+    x = np.maximum(x, 0.0)
+    x0 = np.floor(x)
+    t = (x - x0).astype(np.float32)
+    i0 = np.clip(x0.astype(np.int32), 0, s - 1)
+    i1 = np.clip(i0 + 1, 0, s - 1)
+    n = out_d // chunk
+    xs_np = (i0.reshape(n, chunk), i1.reshape(n, chunk),
+             t.reshape(n, chunk).astype(np.float32),
+             np.arange(out_d, dtype=np.float32).reshape(n, chunk))
+    ws = np.zeros((n, chunk, s), np.float32)
+    rows = np.arange(chunk)
+    for c in range(n):
+        np.add.at(ws[c], (rows, i0[c * chunk:(c + 1) * chunk]),
+                  1.0 - t[c * chunk:(c + 1) * chunk])
+        np.add.at(ws[c], (rows, i1[c * chunk:(c + 1) * chunk]),
+                  t[c * chunk:(c + 1) * chunk])
+    return tuple(jnp.asarray(a) for a in xs_np), jnp.asarray(ws)
+
+
+def _satl_fwd_scan(v, out_d: int, chunk: int):
+    """Flash-softmax disparity expectation over depth-lerped logits.
+
+    ``v`` (B, S, H, W); returns (out, m, z) with out = E[d], m/z the final
+    online-softmax max/partition (B, H, W) f32."""
+    b, s, hh, ww = v.shape
+    xs, _ = _depth_interp_weights(out_d, s, chunk)
+
+    def body(carry, x):
+        m, z, e = carry
+        j0, j1, tj, dj = x
+        l0 = jnp.take(v, j0, axis=1).astype(jnp.float32)
+        l1 = jnp.take(v, j1, axis=1).astype(jnp.float32)
+        logit = l0 + tj[None, :, None, None] * (l1 - l0)  # (B, chunk, H, W)
+        m2 = jnp.maximum(m, jnp.max(logit, axis=1))
+        p = jnp.exp(logit - m2[:, None])
+        scale = jnp.exp(m - m2)
+        z = z * scale + jnp.sum(p, axis=1)
+        e = e * scale + jnp.sum(dj[None, :, None, None] * p, axis=1)
+        return (m2, z, e), None
+
+    init = (jnp.full((b, hh, ww), -jnp.inf, jnp.float32),
+            jnp.zeros((b, hh, ww), jnp.float32),
+            jnp.zeros((b, hh, ww), jnp.float32))
+    (m, z, e), _ = jax.lax.scan(body, init, xs)
+    return e / z, m, z
+
+
 def soft_argmin_trilinear(vol: jnp.ndarray, out_d: int, out_hw,
                           *, chunk: int = 48) -> jnp.ndarray:
     """``soft_argmin`` over a trilinearly upsampled cost volume, fused.
@@ -208,43 +267,72 @@ def soft_argmin_trilinear(vol: jnp.ndarray, out_d: int, out_hw,
     2x the whole head's HBM traffic); logits, softmax and the expectation
     always accumulate in f32.
 
+    Differentiation runs through a custom VJP (not autodiff of the scan):
+    the softmax identity ``d out / d logit_j = p_j (d_j - out)`` gives the
+    logit cotangent in closed form from (out, m, z), so the backward pass
+    stores only the SMALL residuals (vol + three (B, H, W) f32 maps),
+    recomputes the spatial resize and per-chunk logits, and pulls the depth
+    lerp back as one static (chunk, S) MXU contraction -- no scan-carry
+    residual chain, no scatter.  (Measured 10.7 -> ~4 ms fwd+bwd per train
+    head at batch 6, 240x320 -- see BASELINE.md.)
+
     Returns (B, H, W) f32 expected disparity.
     """
-    from realtime_stereo_matcher_tpu.ops.sampling import (
-        _linear_indices_weights,
-        resize_bilinear,
-    )
-
-    b, s, h, w = vol.shape
     if out_d % chunk:
         chunk = out_d
+    return _satl(vol, out_d, tuple(out_hw), chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _satl(vol, out_d, out_hw, chunk):
+    from realtime_stereo_matcher_tpu.ops.sampling import resize_bilinear
+
     v = resize_bilinear(vol, out_hw, h_axis=2, w_axis=3)
-    hh, ww = out_hw
+    out, _, _ = _satl_fwd_scan(v, out_d, chunk)
+    return out
 
-    i0, i1, t = _linear_indices_weights(out_d, s)
-    n = out_d // chunk
-    xs = (i0.reshape(n, chunk), i1.reshape(n, chunk),
-          t.reshape(n, chunk).astype(jnp.float32),
-          jnp.arange(out_d, dtype=jnp.float32).reshape(n, chunk))
 
-    def body(carry, x):
-        m, z, e = carry
-        j0, j1, tj, dj = x
+def _satl_fwd(vol, out_d, out_hw, chunk):
+    from realtime_stereo_matcher_tpu.ops.sampling import resize_bilinear
+
+    v = resize_bilinear(vol, out_hw, h_axis=2, w_axis=3)
+    out, m, z = _satl_fwd_scan(v, out_d, chunk)
+    return out, (vol, out, m, z)
+
+
+def _satl_bwd(out_d, out_hw, chunk, res, g):
+    from realtime_stereo_matcher_tpu.ops.sampling import resize_bilinear
+
+    vol, out, m, z = res
+    b, s, hh, ww = vol.shape[0], vol.shape[1], out_hw[0], out_hw[1]
+    # recompute the cheap spatial resize instead of saving the big (B,S,H,W)
+    v = resize_bilinear(vol, out_hw, h_axis=2, w_axis=3)
+    xs, ws = _depth_interp_weights(out_d, s, chunk)
+    gz = (jnp.asarray(g, jnp.float32) / z)
+
+    def body(dv, x):
+        (j0, j1, tj, dj), w_c = x
         l0 = jnp.take(v, j0, axis=1).astype(jnp.float32)
         l1 = jnp.take(v, j1, axis=1).astype(jnp.float32)
         logit = l0 + tj[None, :, None, None] * (l1 - l0)  # (B, chunk, H, W)
-        m2 = jnp.maximum(m, jnp.max(logit, axis=1))
-        p = jnp.exp(logit - m2[:, None])
-        scale = jnp.exp(m - m2)
-        z = z * scale + jnp.sum(p, axis=1)
-        e = e * scale + jnp.sum(dj[None, :, None, None] * p, axis=1)
-        return (m2, z, e), None
+        p = jnp.exp(logit - m[:, None])
+        dl = gz[:, None] * p * (dj[None, :, None, None] - out[:, None])
+        # transpose of the depth lerp: static (chunk -> S) contraction
+        dv = dv + jax.lax.dot_general(
+            dl, w_c, (((1,), (0,)), ((), ())))            # (B, H, W, S)
+        return dv, None
 
-    init = (jnp.full((b, hh, ww), -jnp.inf, jnp.float32),
-            jnp.zeros((b, hh, ww), jnp.float32),
-            jnp.zeros((b, hh, ww), jnp.float32))
-    (_, z, e), _ = jax.lax.scan(body, init, xs)
-    return e / z
+    dv0 = jnp.zeros((vol.shape[0], hh, ww, s), jnp.float32)
+    dv, _ = jax.lax.scan(body, dv0, (xs, ws))
+    dv = jnp.transpose(dv, (0, 3, 1, 2))                  # (B, S, H, W)
+    # transpose of the (linear) spatial resize, in f32
+    _, pullback = jax.vjp(
+        lambda x: resize_bilinear(x, out_hw, h_axis=2, w_axis=3),
+        vol.astype(jnp.float32))
+    return (pullback(dv)[0].astype(vol.dtype),)
+
+
+_satl.defvjp(_satl_fwd, _satl_bwd)
 
 
 def soft_argmin(cost: jnp.ndarray, axis: int = 1, *, keepdims: bool = False):

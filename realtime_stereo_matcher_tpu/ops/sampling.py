@@ -223,7 +223,7 @@ def _selection_warp_rows(blend: jnp.ndarray, flow_x: jnp.ndarray,
 
 
 # peak bytes allowed for the (B, Hb, W, W) selection matrix of one row block
-_SELECTION_BLOCK_BYTES = 128 * 1024 * 1024
+_SELECTION_BLOCK_BYTES = 256 * 1024 * 1024
 
 
 def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray, *,
@@ -244,17 +244,20 @@ def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray, *,
     g @ image^T), with no scatter anywhere.
 
     ``P`` is an O(W^2)-memory intermediate (~2.4 GB bf16 at batch-1 720p, and
-    needed again by both backward products), so rows are processed in blocks
-    of ``row_block`` under a ``lax.scan`` with rematerialization: peak memory
-    is one block's ``(B, Hb, W, W)`` in forward AND backward (the block's
-    ``P`` is rebuilt from the flow, which is cheap VPU compares).  The
-    default block size bounds the block matrix at ~128 MB.
+    needed again by both backward products), so rows are processed in
+    ``row_block``-row blocks by an UNROLLED slice loop, each block under
+    ``jax.checkpoint``: peak *live* memory is one block's ``(B, Hb, W, W)``
+    in forward and backward (each block's ``P`` is rebuilt from the flow --
+    cheap VPU compares).  Unrolled slices, not ``lax.scan``: the scan's
+    moveaxis-packed xs and serialized steps measured +16 ms on the v3 720p
+    inference path, while unrolled blocks match the monolithic product's
+    speed.  The default block size bounds the block matrix at ~256 MB.
 
     Args:
       image: (B, H, W, C).
       flow: (B, H, W, 1) horizontal flow (the models pass positive disparity
         before the final negation).
-      row_block: rows per scan step (must divide H); default auto-sized.
+      row_block: rows per block (any positive int); default auto-sized.
 
     Returns:
       (B, H, W, C) warped image, bit-matched to the gather path's semantics.
@@ -269,23 +272,14 @@ def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray, *,
     if row_block is None:
         per_row = b * w * w * jnp.dtype(dt).itemsize
         row_block = max(1, min(h, _SELECTION_BLOCK_BYTES // max(per_row, 1)))
-        while h % row_block:
-            row_block -= 1
-    assert h % row_block == 0, (h, row_block)
-    nb = h // row_block
-    if nb == 1:
+    if row_block >= h:
         return _selection_warp_rows(blend, flow_x, w)
 
-    xs = (jnp.moveaxis(blend.reshape(b, nb, row_block, w, c), 1, 0),
-          jnp.moveaxis(flow_x.reshape(b, nb, row_block, w), 1, 0))
-
-    @jax.checkpoint
-    def step(_, x):
-        bl, fl = x
-        return None, _selection_warp_rows(bl, fl, w)
-
-    _, out = jax.lax.scan(step, None, xs)
-    return jnp.moveaxis(out, 0, 1).reshape(b, h, w, c)
+    block = jax.checkpoint(
+        lambda bl, fl: _selection_warp_rows(bl, fl, w))
+    parts = [block(blend[:, s:s + row_block], flow_x[:, s:s + row_block])
+             for s in range(0, h, row_block)]
+    return jnp.concatenate(parts, axis=1)
 
 
 def warp_by_flow_map_banded(image: jnp.ndarray, flow: jnp.ndarray,

@@ -154,3 +154,42 @@ def test_correlation_volume_chunked(rng):
         got = np.asarray(correlation_cost_volume(
             jnp.asarray(left), jnp.asarray(right), 9, w_chunk=chunk))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_soft_argmin_trilinear_custom_vjp(rng):
+    """Value AND gradient of the fused head must match the naive
+    resize_trilinear + soft_argmin composition (custom VJP correctness)."""
+    import jax
+
+    from realtime_stereo_matcher_tpu.ops.cost_volume import (
+        soft_argmin,
+        soft_argmin_trilinear,
+    )
+    from realtime_stereo_matcher_tpu.ops.sampling import resize_trilinear
+
+    vol = jnp.asarray(rng.standard_normal((2, 12, 6, 8)).astype(np.float32))
+    out_d, out_hw = 48, (24, 32)
+
+    def naive(v):
+        big = resize_trilinear(v, (out_d, *out_hw))
+        return soft_argmin(big, axis=1)
+
+    got = soft_argmin_trilinear(vol, out_d, out_hw, chunk=16)
+    want = naive(vol)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda v: jnp.sum(fn(v).astype(jnp.float32) ** 2)
+
+    g_got = jax.grad(loss(
+        lambda v: soft_argmin_trilinear(v, out_d, out_hw, chunk=16)))(vol)
+    g_want = jax.grad(loss(naive))(vol)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=2e-4, atol=2e-4)
+
+    # chunk must not change anything (including the non-divisible fallback)
+    for ch in (48, 5):
+        g2 = soft_argmin_trilinear(vol, out_d, out_hw, chunk=ch)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

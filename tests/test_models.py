@@ -106,3 +106,57 @@ def test_disp_net_c_disparity_regression(rng):
     want = torch.sum(F.softmax(t, dim=1) * vals, dim=1, keepdim=True).numpy()
     assert got.shape == (2, 1, 5, 7)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_grouped_batchnorm_matches_sequential_applies(rng):
+    """Pair-batched GroupedBatchNorm == two sequential per-view applies of
+    the same plain-BN module (outputs AND threaded running stats), in train
+    and eval mode -- the exactness claim behind V4's batched siamese
+    extractor (models/layers.py GroupedBatchNorm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.models.layers import ConvBN
+
+    left = jnp.asarray(rng.standard_normal((3, 8, 10, 4)).astype(np.float32))
+    right = jnp.asarray(
+        rng.standard_normal((3, 8, 10, 4)).astype(np.float32) * 2 + 1)
+
+    seq = ConvBN(6, bn_groups=1)
+    pair = ConvBN(6, bn_groups=2)
+    variables = seq.init(jax.random.PRNGKey(0), left, train=True)
+    # non-trivial running stats
+    bs = {"ConvBN...": None}
+    stats = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            rng.standard_normal(x.shape).astype(np.float32) ** 2 + 0.5),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    # sequential: left then right through the same module (stat threading)
+    oL, upd1 = seq.apply(variables, left, train=True,
+                         mutable=["batch_stats"])
+    oR, upd2 = seq.apply(
+        {"params": variables["params"], **upd1}, right, train=True,
+        mutable=["batch_stats"])
+
+    oP, updP = pair.apply(variables, jnp.concatenate([left, right], axis=0),
+                          train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(oP[:3]), np.asarray(oL),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(oP[3:]), np.asarray(oR),
+                               rtol=2e-5, atol=2e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(
+                updP["batch_stats"])[0 if k == "mean" else 1]),
+            np.asarray(jax.tree_util.tree_leaves(
+                upd2["batch_stats"])[0 if k == "mean" else 1]),
+            rtol=2e-5, atol=2e-5, err_msg=k)
+
+    # eval mode: both reduce to running-stat normalization
+    eL = seq.apply(variables, left, train=False)
+    eP = pair.apply(variables, jnp.concatenate([left, right], axis=0),
+                    train=False)
+    np.testing.assert_allclose(np.asarray(eP[:3]), np.asarray(eL),
+                               rtol=2e-5, atol=2e-5)
