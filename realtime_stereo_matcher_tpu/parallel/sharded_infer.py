@@ -53,15 +53,39 @@ from realtime_stereo_matcher_tpu.parallel.disparity_sharding import (
 
 def make_sharded_infer(model, variables, devices=None, dtype=None):
     """Build ``f(left, right) -> [negative disparity maps]`` running
-    MobileStereoNet over all ``devices`` with disparity+spatial sharding.
+    MobileStereoNet v1/v2/v3 over all ``devices`` with disparity+spatial
+    sharding.
 
-    ``model`` must be a MobileStereoNet (v1); ``variables`` its
-    ``{"params", "batch_stats"}``.  Stage functions are built (and jitted)
-    once per distinct input shape.
+    ``variables`` is the model's ``{"params", "batch_stats"}``.  Stage
+    functions are built (and jitted) once per distinct input shape.
+
+    Variant differences (models/stereo_net.py; reference
+    model/mobile_stereo_net{,_v2,_v3}.py):
+    * v1: FeatureEncoder; refines guided by the left RGB only.
+    * v2: v1 + the right RGB warped by the running disparity (the warp is a
+      per-row horizontal gather -- row sharding is communication-free there).
+    * v3: U-Net pyramid extractor; refines consume pyramid features of both
+      views (right features warped via the selection-matrix warp, also
+      row-local).
     """
-    from realtime_stereo_matcher_tpu.models import MobileStereoNet
+    from realtime_stereo_matcher_tpu.models import (
+        MobileStereoNet,
+        MobileStereoNetV2,
+        MobileStereoNetV3,
+    )
+    from realtime_stereo_matcher_tpu.models.stereo_net import (
+        UNetFeatureExtractor,
+    )
 
-    assert isinstance(model, MobileStereoNet), type(model)
+    if isinstance(model, MobileStereoNetV3):
+        variant = "v3"
+    elif isinstance(model, MobileStereoNetV2):
+        variant = "v2"
+    elif isinstance(model, MobileStereoNet):
+        variant = "v1"
+    else:
+        raise NotImplementedError(type(model).__name__)
+    warp_guidance = variant in ("v2", "v3")
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     dev = np.asarray(devices)
@@ -75,15 +99,23 @@ def make_sharded_infer(model, variables, devices=None, dtype=None):
     n_disp = math.gcd(vol_disp, n)
     mesh_disp = Mesh(dev[:n_disp], ("disp",))
 
-    encoder = FeatureEncoder(model.hidden_dim, model.down_factor, dtype=dtype)
-    enc_vars = {"params": params["FeatureEncoder_0"],
-                "batch_stats": stats["FeatureEncoder_0"]}
+    if variant == "v3":
+        encoder = UNetFeatureExtractor(
+            hidden_dims=(model.hidden_dim,) * (model.down_factor + 1),
+            dtype=dtype)
+        enc_vars = {"params": params["UNetFeatureExtractor_0"]}
+    else:
+        encoder = FeatureEncoder(model.hidden_dim, model.down_factor,
+                                 dtype=dtype)
+        enc_vars = {"params": params["FeatureEncoder_0"],
+                    "batch_stats": stats["FeatureEncoder_0"]}
 
     refine_mods = []
     for i in range(model.down_factor):
         name = f"RefineNet_{i}"
         refine_mods.append((
-            RefineNet(model.hidden_dim, model.refine_dilates, dtype=dtype),
+            RefineNet(model.hidden_dim, model.refine_dilates,
+                      warp_guidance=warp_guidance, dtype=dtype),
             {"params": params[name], "batch_stats": stats[name]},
         ))
 
@@ -110,22 +142,41 @@ def make_sharded_infer(model, variables, devices=None, dtype=None):
         rows = NamedSharding(mesh_sp, P(None, "spatial"))
         repl = NamedSharding(mesh_sp, P())
 
-        @partial(jax.jit, out_shardings=(rows, rows, repl, repl))
+        if variant == "v3":
+            # pyramid levels stay row-sharded except the coarsest (feeds the
+            # replicated->disp-sharded coarse stage)
+            pyr_shard = (repl,) + (rows,) * model.down_factor
+            out_sh = (rows, rows, pyr_shard, pyr_shard)
+        else:
+            out_sh = (rows, rows, repl, repl)
+
+        @partial(jax.jit, out_shardings=out_sh)
         def stage_encode(left, right):
             # inputs already normalized + padded (forward below)
             lf = encoder.apply(enc_vars, left, False)
             rf = encoder.apply(enc_vars, right, False)
-            # features leave replicated (cheap: 1/8 res); padded images stay
-            # row-sharded for the refines
+            if variant == "v3":
+                lf, rf = tuple(lf), tuple(rf)
+            # coarse features leave replicated (cheap: 1/8 res); padded
+            # images / finer pyramid levels stay row-sharded for the refines
             return left, right, lf, rf
 
-        @partial(jax.jit, static_argnums=(2, 3))
-        def stage_refine(disp, left, orig_h, orig_w):
+        @partial(jax.jit, static_argnums=(4, 5))
+        def stage_refine(disp, left, right, pyrs, orig_h, orig_w):
             x = disp[..., None].astype(left.dtype)
             out_hw = left.shape[1:3]
             multi_scale = []
-            for mod, mvars in refine_mods:
-                x = mod.apply(mvars, x, left, train=False)
+            for i, (mod, mvars) in enumerate(refine_mods):
+                if variant == "v3":
+                    l_g, r_g = pyrs[0][i + 1], pyrs[1][i + 1]
+                elif variant == "v2":
+                    l_g, r_g = left, right
+                else:
+                    l_g, r_g = left, None
+                if r_g is None:
+                    x = mod.apply(mvars, x, l_g, train=False)
+                else:
+                    x = mod.apply(mvars, x, l_g, r_g, train=False)
                 multi_scale.append(
                     _full_res_nearest(x, out_hw, (orig_h, orig_w)))
             return [-1.0 * m for m in multi_scale]
@@ -146,12 +197,15 @@ def make_sharded_infer(model, variables, devices=None, dtype=None):
         left_n = jax.device_put(left_n, rows)
         right_n = jax.device_put(right_n, rows)
         left, right, lf, rf = stage_encode(left_n, right_n)
+        pyrs = (lf, rf) if variant == "v3" else ()
+        if variant == "v3":
+            lf, rf = lf[0], rf[0]
         sub = NamedSharding(mesh_disp, P())
         lf = jax.device_put(lf, sub)
         rf = jax.device_put(rf, sub)
         disp = coarse_fn(lf, rf)          # shard_map over 'disp'
         disp = jax.device_put(disp, repl)
-        return stage_refine(disp, left, orig_h, orig_w)
+        return stage_refine(disp, left, right, pyrs, orig_h, orig_w)
 
     forward.coarse_fn = coarse_fn
     return forward

@@ -55,3 +55,26 @@ def test_sharded_infer_odd_input_size(rng):
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(t, np.float32),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("model_type", ["MobileStereoNetV2",
+                                        "MobileStereoNetV3"])
+def test_sharded_infer_v2_v3(rng, model_type):
+    """Warped-guidance variants: v2 (RGB warp) and v3 (pyramid features +
+    selection-matrix warp) through the disparity+spatial sharded stages."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    model = build_model({"type": model_type, "parameters": {"max_disp": 64}})
+    h, w = 64, 96
+    left = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+
+    want = model.apply(variables, left, right, train=False)
+    got = make_sharded_infer(model, variables)(left, right)
+
+    assert len(got) == len(want) == 3
+    for g, t in zip(got, want):
+        g, t = np.asarray(g, np.float32), np.asarray(t, np.float32)
+        assert g.shape == t.shape == (1, h, w, 1)
+        np.testing.assert_allclose(g, t, rtol=1e-4, atol=1e-4)
