@@ -231,7 +231,7 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
             logger.write_scalars(s, {
                 "live_loss": scalars["live_loss"],
                 "learning_rate": float(schedule(s))})
-            logger.push(scalars)
+            logger.push(scalars, step=s)
         pending.clear()
 
     while should_keep_training:

@@ -88,18 +88,22 @@ class MetricLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
 
-    def push(self, metrics: dict):
+    def push(self, metrics: dict, step: int | None = None):
+        """Accumulate one step's metrics; ``step`` is the GLOBAL step (pass
+        it on resumed runs -- the internal push counter restarts at 0 and
+        would mislabel the printed/written rows otherwise)."""
         self.total_steps += 1
         for k, v in metrics.items():
             self.running[k] = self.running.get(k, 0.0) + float(v)
         if self.total_steps % self.sum_freq == self.sum_freq - 1:
+            s = self.total_steps if step is None else step
             means = {k: v / self.sum_freq for k, v in self.running.items()}
-            lr = self.lr_fn(self.total_steps) if self.lr_fn else float("nan")
+            lr = self.lr_fn(s) if self.lr_fn else float("nan")
             metrics_str = ", ".join(f"{k}:{v:.4f}" for k, v in means.items())
             logging.info(
                 f"Training Metrics ({self.total_steps}): "
-                f"[{self.total_steps + 1:6d}, {lr:10.7f}] {metrics_str}")
-            self.write_scalars(self.total_steps, means)
+                f"[{s + 1:6d}, {lr:10.7f}] {metrics_str}")
+            self.write_scalars(s, means)
             self.running = {}
 
     def close(self):

@@ -44,6 +44,7 @@ def test_validate_kitti_with_sgbm(tmp_path, rng):
     assert results["kitti-fps"] > 0
 
 
+@pytest.mark.slow
 def test_validate_kitti_with_neural_runner(tmp_path, rng):
     """Untrained net runs end-to-end through the padded eval path; metrics
     finite (accuracy meaningless at random init)."""

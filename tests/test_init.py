@@ -101,6 +101,7 @@ def test_v1_init_statistics():
     assert np.abs(b).max() <= bb + 1e-7 and b.std() > 0
 
 
+@pytest.mark.slow
 def test_dispnetc_init_statistics():
     torch.manual_seed(0)
     ref = _load_ref("mobile_disp_net_c")

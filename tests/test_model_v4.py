@@ -14,6 +14,7 @@ zero columns x < shift.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from realtime_stereo_matcher_tpu.models.stereo_net_v4 import InterweaveVolume
 from realtime_stereo_matcher_tpu.ops import interweave_volume
@@ -73,6 +74,7 @@ def test_decomposed_volume_equals_reference_loop(rng):
         np.testing.assert_array_equal(got[:, i, :, :i], 0.0)
 
 
+@pytest.mark.slow
 def test_chunked_volume_matches_unchunked(rng):
     """The volume_chunk memory knob must not change results."""
     from realtime_stereo_matcher_tpu.models import build_model

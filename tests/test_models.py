@@ -32,8 +32,12 @@ CONFIGS = [
     ("MobileStereoNetV3",
      {"down_factor": 3, "max_disp": 64,
       "refine_dilates": [1, 2, 4, 8, 1, 1], "hidden_dim": 16}, 3, True),
-    ("MobileDispNetC", {"hidden_dim": 8, "max_disp": 64,
-                        "with_batch_norm": True}, 6, False),
+    # DispNetC forward-shape coverage lives in the slow tier: its 1/64-deep
+    # decoder compiles slowest of the zoo, and the fast tier already runs
+    # test_parity_dispnetc (a strictly stronger whole-model check)
+    pytest.param("MobileDispNetC",
+                 {"hidden_dim": 8, "max_disp": 64, "with_batch_norm": True},
+                 6, False, marks=pytest.mark.slow),
 ]
 
 
@@ -51,6 +55,7 @@ def test_model_forward_shapes(rng, mtype, params, n_preds, sign_constrained):
     assert np.all(np.isfinite(np.asarray(preds[-1])))
 
 
+@pytest.mark.slow
 def test_v4_forward_shapes(rng):
     model = build_model({"type": "MobileStereoNetV4",
                          "parameters": {"max_disp": 64}})

@@ -44,7 +44,11 @@ def _synthetic_batch(rng, batch, h, w):
     return img1, img2, flow, valid
 
 
-def test_train_step_descends_and_shards(tmp_path, rng):
+def test_train_step_descends_shards_and_checkpoints(tmp_path, rng):
+    """One compiled step covers descent, 8-way data sharding AND the
+    full-state checkpoint round-trip (merged tests: each whole-model jit
+    compile costs ~40 s on this 2-vCPU runner, so the fast tier shares
+    one)."""
     cfg = _tiny_config(tmp_path)
     model, tx, schedule, state = create_train_state(cfg)
     step_fn = jax.jit(make_train_step(model, tx,
@@ -66,25 +70,16 @@ def test_train_step_descends_and_shards(tmp_path, rng):
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 8
 
-
-def test_checkpoint_roundtrip(tmp_path, rng):
-    cfg = _tiny_config(tmp_path)
-    model, tx, schedule, state = create_train_state(cfg)
-    step_fn = jax.jit(make_train_step(model, tx, cfg.train.loss.parameters))
-    img1, img2, flow, valid = _synthetic_batch(rng, 2, 32, 48)
-    state, _ = step_fn(state, jnp.asarray(img1), jnp.asarray(img2),
-                       jnp.asarray(flow), jnp.asarray(valid))
-
+    # full-state checkpoint round-trip (params + opt state + step -- the
+    # resume the reference lacks, reference train_stereo.py:149-158)
     path = tmp_path / "ckpt"
     save_checkpoint(path, state)
-
     _, _, _, fresh = create_train_state(cfg)
     restored = restore_checkpoint(path, fresh)
-    assert int(restored.step) == 1
+    assert int(restored.step) == 8
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # optimizer state restored too (full-state resume, unlike the reference)
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
