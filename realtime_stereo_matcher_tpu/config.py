@@ -39,6 +39,10 @@ class TrainConfig:
     # fused Pallas conv path (models/fast_train.py) when the model/mesh/crop
     # support it -- 2.2x faster than the XLA step on v5e at the v1 config
     fast_kernels: str = "auto"
+    # pin every BatchNorm to eval mode while training (running-stat
+    # normalization, no stat updates) -- the reference's dormant freeze_bn
+    # (train_stereo.py:121-124), wired through train/freeze.py
+    freeze_bn: bool = False
 
 
 @dataclasses.dataclass

@@ -59,7 +59,11 @@ class GroupedBatchNorm(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool | None = None):
+        # call-time override mirrors nn.BatchNorm's -- train/freeze.py's BN
+        # interceptor relies on it
+        if use_running_average is None:
+            use_running_average = self.use_running_average
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -71,7 +75,7 @@ class GroupedBatchNorm(nn.Module):
         g = self.groups
         assert x.shape[0] % g == 0, (x.shape, g)
 
-        if self.use_running_average:
+        if use_running_average:
             mu = jnp.asarray(ra_mean.value, jnp.float32)
             var = jnp.asarray(ra_var.value, jnp.float32)
             inv = jax.lax.rsqrt(var + self.epsilon)

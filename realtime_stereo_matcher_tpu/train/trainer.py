@@ -91,13 +91,23 @@ def create_train_state(exp_config: ExperimentConfig, rng_key=None,
 
 
 def make_train_step(model, tx, loss_params: dict,
-                    loss_type: str = "SequenceLoss"):
-    """Jittable (state, batch) -> (state, metrics) step."""
+                    loss_type: str = "SequenceLoss",
+                    freeze_bn: bool = False):
+    """Jittable (state, batch) -> (state, metrics) step.
+
+    ``freeze_bn``: BatchNorms normalize with running stats and never update
+    (reference train_stereo.py:121-124 analog, train/freeze.py)."""
     loss = build_loss_function({"type": loss_type, "parameters": loss_params})
+    if freeze_bn:
+        from realtime_stereo_matcher_tpu.train.freeze import frozen_bn_apply
+
+        apply_fn = frozen_bn_apply(model)
+    else:
+        apply_fn = model.apply
 
     def train_step(state: TrainState, img1, img2, flow, valid):
         def loss_fn(params):
-            preds, updates = model.apply(
+            preds, updates = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 img1, img2, train=True, mutable=["batch_stats"])
             return loss(preds, flow, valid), (preds, updates["batch_stats"])
@@ -176,6 +186,10 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
     # fail fast on unknown loss types (reference loss/__init__.py:4-10)
     build_loss_function({"type": loss_type, "parameters": loss_params})
     fast_mode = getattr(exp_config.train, "fast_kernels", "auto")
+    if exp_config.train.freeze_bn:
+        # the kernel train path implements live-BN semantics only; frozen-BN
+        # training runs the XLA step with the freeze.py interceptor
+        fast_mode = "off"
     use_fast = False
     if fast_mode in ("auto", "on"):
         from realtime_stereo_matcher_tpu.models.fast_train import (
@@ -199,9 +213,10 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                                  loss_type=loss_type),
             donate_argnums=(0,))
     else:
-        step_fn = jax.jit(make_train_step(model, tx, loss_params,
-                                          loss_type=loss_type),
-                          donate_argnums=(0,))
+        step_fn = jax.jit(
+            make_train_step(model, tx, loss_params, loss_type=loss_type,
+                            freeze_bn=exp_config.train.freeze_bn),
+            donate_argnums=(0,))
 
     # replicate state over the mesh; batches are sharded over 'data'
     state = jax.device_put(state, replicated(mesh))
