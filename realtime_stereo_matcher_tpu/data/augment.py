@@ -82,19 +82,21 @@ def adjust_saturation(img: np.ndarray, f: float) -> np.ndarray:
 
 
 def adjust_hue(img: np.ndarray, shift: float) -> np.ndarray:
-    """shift in [-0.5, 0.5] turns of the hue circle."""
+    """shift in [-0.5, 0.5] turns of the hue circle.
+
+    Vectorized with where/choose selections instead of boolean-mask writes
+    (the masked form cost ~27 ms/sample and dominated the host augmentation
+    profile); element-wise math and the tie-break order (b-max wins over
+    g-max over r-max, like sequential masked writes) are unchanged.
+    """
     x = img.astype(np.float32) / 255.0
     mx = x.max(-1)
     mn = x.min(-1)
     diff = mx - mn + 1e-12
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    h = np.zeros_like(mx)
-    m = mx == r
-    h[m] = ((g - b) / diff)[m] % 6
-    m = mx == g
-    h[m] = ((b - r) / diff + 2)[m]
-    m = mx == b
-    h[m] = ((r - g) / diff + 4)[m]
+    h = np.where(mx == b, (r - g) / diff + 4,
+                 np.where(mx == g, (b - r) / diff + 2,
+                          ((g - b) / diff) % 6))
     h = (h / 6.0 + shift) % 1.0
     s = np.where(mx > 0, diff / (mx + 1e-12), 0.0)
     v = mx
@@ -104,14 +106,10 @@ def adjust_hue(img: np.ndarray, shift: float) -> np.ndarray:
     p = v * (1 - s)
     q = v * (1 - f * s)
     t = v * (1 - (1 - f) * s)
-    i = i.astype(int) % 6
-    out = np.zeros_like(x)
-    for idx, (rr, gg, bb) in enumerate(
-            [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)]):
-        m = i == idx
-        out[..., 0][m] = rr[m]
-        out[..., 1][m] = gg[m]
-        out[..., 2][m] = bb[m]
+    i = i.astype(np.intp) % 6
+    out = np.stack([np.choose(i, (v, q, p, p, t, v)),
+                    np.choose(i, (t, v, v, q, p, p)),
+                    np.choose(i, (p, p, t, v, v, q))], axis=-1)
     return np.clip(out * 255.0, 0, 255)
 
 
