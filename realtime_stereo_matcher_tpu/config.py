@@ -43,6 +43,11 @@ class TrainConfig:
     # normalization, no stat updates) -- the reference's dormant freeze_bn
     # (train_stereo.py:121-124), wired through train/freeze.py
     freeze_bn: bool = False
+    # run the FlowAugmentor pipeline on-device inside the jitted train step
+    # (data/device_augment.py) instead of in host loader workers -- removes
+    # the 5-7x host gating measured on 2-vCPU hosts.  Requires fixed-shape
+    # raw samples (e.g. the synthetic dataset); dense-GT augmentors only.
+    device_augment: bool = False
 
 
 @dataclasses.dataclass

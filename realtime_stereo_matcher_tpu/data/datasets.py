@@ -49,6 +49,9 @@ class StereoDataset:
 
         self.disparity_reader = reader if reader is not None else frame_io.read_gen
         self.is_test = False
+        # image output dtype: float32 by default; the device-augment path
+        # sets uint8 to halve host->device transfer (data/device_augment.py)
+        self.out_dtype = np.float32
         self.flow_list = []
         self.disparity_list = []
         self.image_list = []
@@ -102,8 +105,8 @@ class StereoDataset:
             else:
                 img1, img2, flow = self.augmentor(img1, img2, flow, rng=rng)
 
-        img1 = img1.astype(np.float32)
-        img2 = img2.astype(np.float32)
+        img1 = img1.astype(self.out_dtype)
+        img2 = img2.astype(self.out_dtype)
         flow = flow.astype(np.float32)
 
         if self.sparse:
@@ -356,44 +359,51 @@ class Middlebury(StereoDataset):
                 self.disparity_list += [disp]
 
 
-def build_train_dataset(exp_config) -> ConcatDataset | StereoDataset:
+def build_train_dataset(exp_config, *, raw=False) -> ConcatDataset | StereoDataset:
     """Concatenate the configured training datasets
-    (reference fetch_dataloader, stereo_datasets.py:411-482)."""
+    (reference fetch_dataloader, stereo_datasets.py:411-482).
+
+    ``raw=True`` builds the datasets without host augmentors (full-size
+    samples), for the on-device augmentation path (data/device_augment.py).
+    """
     from realtime_stereo_matcher_tpu.config import ExperimentConfig
 
     assert isinstance(exp_config, ExperimentConfig)
-    aug_params = exp_config.aug_params()
+    aug_params = None if raw else exp_config.aug_params()
     root = (exp_config.data.dataset_root or None) if exp_config.data else None
 
     def sub(name):
         return osp.join(root, name) if root else None
 
+    def cp():
+        return None if aug_params is None else cp()
+
     train_dataset = None
     for dataset_name in exp_config.train.datasets:
         if dataset_name.startswith("middlebury_"):
-            new_dataset = Middlebury(dict(aug_params), root=sub("Middlebury"),
+            new_dataset = Middlebury(cp(), root=sub("Middlebury"),
                                      split=dataset_name.replace("middlebury_", ""))
         elif dataset_name == "sceneflow/things":
             new_dataset = SceneFlowDatasets(
-                dict(aug_params), root=sub("SceneFlow"),
+                cp(), root=sub("SceneFlow"),
                 dstype="frames_cleanpass", subsets=["things"])
         elif dataset_name == "sceneflow/driving":
             new_dataset = SceneFlowDatasets(
-                dict(aug_params), root=sub("SceneFlow"),
+                cp(), root=sub("SceneFlow"),
                 dstype="frames_cleanpass", subsets=["driving"])
         elif "kitti" in dataset_name:
-            new_dataset = KITTI(dict(aug_params), root=sub("KITTI"))
+            new_dataset = KITTI(cp(), root=sub("KITTI"))
         elif dataset_name == "sintel_stereo":
-            new_dataset = SintelStereo(dict(aug_params),
+            new_dataset = SintelStereo(cp(),
                                        root=sub("SintelStereo")) * 140
         elif dataset_name == "falling_things":
-            new_dataset = FallingThings(dict(aug_params),
+            new_dataset = FallingThings(cp(),
                                         root=sub("FallingThings")) * 5
         elif dataset_name.startswith("tartan_air"):
-            new_dataset = TartanAir(dict(aug_params), root=root,
+            new_dataset = TartanAir(cp(), root=root,
                                     keywords=dataset_name.split("_")[2:])
         elif dataset_name == "eth3d":
-            new_dataset = ETH3D(dict(aug_params), root=sub("ETH3D"))
+            new_dataset = ETH3D(cp(), root=sub("ETH3D"))
         elif dataset_name.startswith("synthetic"):
             # "synthetic" or "synthetic_<N>": procedural scenes with exact GT
             # (data/synthetic.py); holdout seeds >= 10**6 are reserved for
@@ -404,7 +414,7 @@ def build_train_dataset(exp_config) -> ConcatDataset | StereoDataset:
 
             parts = dataset_name.split("_")
             length = int(parts[1]) if len(parts) > 1 else 2000
-            new_dataset = SyntheticStereo(dict(aug_params), length=length)
+            new_dataset = SyntheticStereo(cp(), length=length)
         else:
             raise ValueError(f"unknown training dataset: {dataset_name}")
         logging.info("Adding %d samples from %s", len(new_dataset), dataset_name)

@@ -138,16 +138,28 @@ class StereoDataLoader:
 
 
 def fetch_dataloader(exp_config, *, shard_id: int = 0, num_shards: int = 1,
-                     num_workers: int | None = None) -> StereoDataLoader:
+                     num_workers: int | None = None,
+                     raw: bool = False) -> StereoDataLoader:
     """Reference fetch_dataloader (stereo_datasets.py:411-494) equivalent.
 
     The config ``train.batch_size`` is the GLOBAL batch (reference
     DataParallel semantics); with ``num_shards`` hosts each loader yields
     ``batch_size / num_shards`` samples per step from its disjoint shard.
-    """
-    from realtime_stereo_matcher_tpu.data.datasets import build_train_dataset
 
-    dataset = build_train_dataset(exp_config)
+    ``raw=True``: no host augmentors and uint8 images -- full-size samples
+    for the on-device augmentation path (data/device_augment.py).
+    """
+    from realtime_stereo_matcher_tpu.data.datasets import (
+        ConcatDataset,
+        build_train_dataset,
+    )
+
+    dataset = build_train_dataset(exp_config, raw=raw)
+    if raw:
+        leaves = (dataset.datasets if isinstance(dataset, ConcatDataset)
+                  else [dataset])
+        for d in leaves:
+            d.out_dtype = np.uint8
     gb = exp_config.train.batch_size
     assert gb % num_shards == 0, (
         f"global batch {gb} not divisible by {num_shards} hosts")

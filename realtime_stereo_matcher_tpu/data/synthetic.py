@@ -137,12 +137,18 @@ class SyntheticStereo(StereoDataset):
     """
 
     def __init__(self, aug_params=None, *, length: int = 2000,
-                 seed0: int = 0, image_hw=(320, 448), max_disp: float = 64.0):
+                 seed0: int = 0, image_hw=(320, 448), max_disp: float = 64.0,
+                 cache: bool = True):
         super().__init__(aug_params)
         self.length = int(length)
         self.seed0 = int(seed0)
         self.image_hw = tuple(image_hw)
         self.max_disp = float(max_disp)
+        # scenes are deterministic per (seed, index) -> memoize raw scenes
+        # (~2 MB each; generation costs ~21 ms/scene on this host).  Plain
+        # dict writes are atomic under the GIL; a rare duplicate regeneration
+        # by racing loader threads is benign (same deterministic value).
+        self._cache: dict | None = {} if cache else None
         # base-class bookkeeping so __mul__/ConcatDataset len() work
         self.image_list = [[f"synthetic://{seed0 + i}/left",
                             f"synthetic://{seed0 + i}/right"]
@@ -154,8 +160,13 @@ class SyntheticStereo(StereoDataset):
 
     def _get(self, index, rng):
         index = index % self.length
-        img1, img2, disp, valid = make_scene(
-            self.seed0 + index, *self.image_hw, max_disp=self.max_disp)
+        if self._cache is not None and index in self._cache:
+            img1, img2, disp, valid = self._cache[index]
+        else:
+            img1, img2, disp, valid = make_scene(
+                self.seed0 + index, *self.image_hw, max_disp=self.max_disp)
+            if self._cache is not None:
+                self._cache[index] = (img1, img2, disp, valid)
         flow = np.stack([-disp, np.zeros_like(disp)], axis=-1)
 
         if self.augmentor is not None:
@@ -168,5 +179,5 @@ class SyntheticStereo(StereoDataset):
 
         flow = flow[..., :1].astype(np.float32)
         return (self.image_list[index] + [self.disparity_list[index]],
-                img1.astype(np.float32), img2.astype(np.float32), flow,
+                img1.astype(self.out_dtype), img2.astype(self.out_dtype), flow,
                 np.asarray(valid, np.float32))

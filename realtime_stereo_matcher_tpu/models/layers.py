@@ -41,7 +41,10 @@ class GroupedBatchNorm(nn.Module):
     ``r' = m^G r + sum_g m^(G-1-g) (1-m) batch_g``).  With G=1 this is
     exactly ``nn.BatchNorm``.
 
-    This makes one batched pass bit-equivalent (in train mode) to applying
+    This makes one batched pass numerically equivalent in train mode (within
+    float rounding -- the folded ``x*s + b`` affine rounds differently from
+    flax's ``(x-mean)*inv*scale + bias``; pinned at rtol 2e-5 by
+    tests/test_model_v4.py) to applying
     the same module G times on the sub-batches in sequence -- the pattern the
     reference uses for its siamese extractors (e.g. reference
     mobile_stereo_net_v4.py:434-441 runs feature_extraction on left then

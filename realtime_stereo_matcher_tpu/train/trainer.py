@@ -175,11 +175,13 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
         state = restore_checkpoint(restore, state)
         logging.info("Done loading checkpoint.")
 
+    device_augment = exp_config.train.device_augment
     if data_loader is None:
         shard_id = jax.process_index()
         num_shards = jax.process_count()
         data_loader = fetch_dataloader(exp_config, shard_id=shard_id,
-                                       num_shards=num_shards)
+                                       num_shards=num_shards,
+                                       raw=device_augment)
 
     loss_params = exp_config.train.loss.parameters
     loss_type = exp_config.train.loss.type
@@ -189,6 +191,11 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
     if exp_config.train.freeze_bn:
         # the kernel train path implements live-BN semantics only; frozen-BN
         # training runs the XLA step with the freeze.py interceptor
+        if fast_mode == "on":
+            logging.warning(
+                "train.fast_kernels='on' is overridden to 'off' by "
+                "train.freeze_bn: the kernel train path has live-BN "
+                "semantics only; running the XLA step instead.")
         fast_mode = "off"
     use_fast = False
     if fast_mode in ("auto", "on"):
@@ -207,16 +214,85 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                      "(models/fast_train.py)%s.",
                      f", data-parallel over {mesh.shape['data']} devices"
                      if mesh.size > 1 else "")
-        step_fn = jax.jit(
-            make_fast_train_step(model, tx, loss_params,
-                                 mesh=mesh if mesh.size > 1 else None,
-                                 loss_type=loss_type),
-            donate_argnums=(0,))
+        base_step = make_fast_train_step(model, tx, loss_params,
+                                         mesh=mesh if mesh.size > 1 else None,
+                                         loss_type=loss_type)
     else:
-        step_fn = jax.jit(
-            make_train_step(model, tx, loss_params, loss_type=loss_type,
-                            freeze_bn=exp_config.train.freeze_bn),
-            donate_argnums=(0,))
+        base_step = make_train_step(model, tx, loss_params,
+                                    loss_type=loss_type,
+                                    freeze_bn=exp_config.train.freeze_bn)
+    # Device-resident dataset: through this environment's TPU relay,
+    # host->device batch streaming serializes against compute (~450 ms per
+    # 11.5 MB batch while the chip is busy), so when the training set fits
+    # in HBM it is uploaded once and each step ships a (B,) index vector
+    # instead (data/device_cache.py).  Single-process only: each process
+    # would otherwise need a disjoint global-array shard of the dataset.
+    resident = None
+    if device_augment and jax.process_count() == 1:
+        from realtime_stereo_matcher_tpu.data.datasets import ConcatDataset
+        from realtime_stereo_matcher_tpu.data.device_cache import (
+            DeviceResidentScenes,
+            pack_synthetic,
+        )
+        from realtime_stereo_matcher_tpu.data.synthetic import SyntheticStereo
+
+        ds = getattr(data_loader, "dataset", None)
+        leaves = ds.datasets if isinstance(ds, ConcatDataset) else [ds]
+        if len(leaves) == 1 and isinstance(leaves[0], SyntheticStereo):
+            packed = pack_synthetic(leaves[0])
+            nbytes = sum(a.nbytes for a in packed.values())
+            if nbytes <= 8e9:
+                resident = DeviceResidentScenes(
+                    packed, sharding=replicated(mesh))
+                logging.info(
+                    "Device-resident dataset: %d scenes, %.2f GB in HBM; "
+                    "steps ship (B,) int32 indices only.",
+                    resident.length, nbytes / 1e9)
+
+    if device_augment:
+        # augmentation runs inside the jitted step; the spec needs the raw
+        # sample shape, so the streaming variant compiles lazily on the
+        # first batch
+        step_fn = None
+
+        def build_augmented_step(src_hw, fetch=None):
+            from realtime_stereo_matcher_tpu.data.device_augment import (
+                AugmentSpec,
+                make_device_augment,
+            )
+
+            spec = AugmentSpec.from_aug_params(exp_config.aug_params(), src_hw)
+            aug_fn = make_device_augment(spec)
+            base_key = jax.random.PRNGKey(1234)
+
+            def augmented(state, img1_raw, img2_raw, flow_raw):
+                # keyed by the global step: deterministic, resume-stable
+                key = jax.random.fold_in(base_key, state.step)
+                img1, img2, flow, valid = aug_fn(key, img1_raw, img2_raw,
+                                                 flow_raw)
+                return base_step(state, img1, img2, flow, valid)
+
+            if fetch is None:
+                step = augmented
+            else:
+                # resident arrays arrive as ARGUMENTS (closure capture would
+                # embed GBs as HLO constants -- see device_cache.py)
+                def step(state, data, idx):
+                    return augmented(state, *fetch(data, idx))
+
+            logging.info("On-device augmentation: raw %s -> crop %s.",
+                         src_hw, spec.crop_size)
+            return jax.jit(step, donate_argnums=(0,))
+
+        if resident is not None:
+            from realtime_stereo_matcher_tpu.data.device_cache import (
+                fetch_scene_batch,
+            )
+
+            step_fn = build_augmented_step(resident.image_hw,
+                                           fetch_scene_batch)
+    else:
+        step_fn = jax.jit(base_step, donate_argnums=(0,))
 
     # replicate state over the mesh; batches are sharded over 'data'
     state = jax.device_put(state, replicated(mesh))
@@ -249,13 +325,36 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
             logger.push(scalars, step=s)
         pending.clear()
 
+    def batch_iter():
+        if resident is not None:
+            b = exp_config.train.batch_size
+            steps_per_epoch = max(1, resident.length // b)
+            for idx in resident.index_batches(
+                    b, seed=1234, epoch0=total_steps // steps_per_epoch):
+                yield (idx,)
+            return
+        while True:
+            for _, img1, img2, flow, valid in iter(data_loader):
+                if device_augment:
+                    # the raw geometric valid is recomputed post-augment on
+                    # device (|flow| < 512, the dense-GT convention) -- skip
+                    # its host->device transfer
+                    yield (img1, img2, flow)
+                else:
+                    yield (img1, img2, flow, valid)
+
     while should_keep_training:
-        for _, img1, img2, flow, valid in iter(data_loader):
-            global_b = img1.shape[0] * jax.process_count()
+        for arrays in batch_iter():
+            global_b = arrays[0].shape[0] * jax.process_count()
             assert global_b % n_data == 0, (
                 f"global batch {global_b} not divisible by data axis {n_data}")
-            batch = shard_host_batch(mesh, (img1, img2, flow, valid))
-            state, metrics = step_fn(state, *batch)
+            if step_fn is None:
+                step_fn = build_augmented_step(arrays[0].shape[1:3])
+            batch = shard_host_batch(mesh, arrays)
+            if resident is not None:
+                state, metrics = step_fn(state, resident.arrays, *batch)
+            else:
+                state, metrics = step_fn(state, *batch)
             if not metric_keys:
                 metric_keys = sorted(metrics)
             pending.append((total_steps,

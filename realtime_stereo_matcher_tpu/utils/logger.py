@@ -101,8 +101,9 @@ class MetricLogger:
             lr = self.lr_fn(s) if self.lr_fn else float("nan")
             metrics_str = ", ".join(f"{k}:{v:.4f}" for k, v in means.items())
             logging.info(
-                f"Training Metrics ({self.total_steps}): "
-                f"[{s + 1:6d}, {lr:10.7f}] {metrics_str}")
+                f"Training Metrics (step {s + 1}, session "
+                f"{self.total_steps}): [{s + 1:6d}, {lr:10.7f}] "
+                f"{metrics_str}")
             self.write_scalars(s, means)
             self.running = {}
 
