@@ -77,6 +77,11 @@ def make_sharded_infer(model, variables, devices=None, dtype=None):
         UNetFeatureExtractor,
     )
 
+    from realtime_stereo_matcher_tpu.models import MobileStereoNetV4
+
+    if isinstance(model, MobileStereoNetV4):
+        return make_sharded_infer_v4(model, variables, devices=devices,
+                                     dtype=dtype)
     if isinstance(model, MobileStereoNetV3):
         variant = "v3"
     elif isinstance(model, MobileStereoNetV2):
@@ -84,7 +89,13 @@ def make_sharded_infer(model, variables, devices=None, dtype=None):
     elif isinstance(model, MobileStereoNet):
         variant = "v1"
     else:
-        raise NotImplementedError(type(model).__name__)
+        # MobileDispNetC is consciously exempt: at 3.98 ms / 251 FPS for a
+        # KITTI-size frame on ONE chip (BASELINE.md) there is no disparity
+        # or spatial extent left to shard profitably -- its correlation
+        # volume is 48 levels at 1/4 res of a tiny hidden_dim-8 encoder.
+        raise NotImplementedError(
+            f"{type(model).__name__}: no sharded-inference composition "
+            "(DispNetC is single-chip by design; see BASELINE.md)")
     warp_guidance = variant in ("v2", "v3")
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -208,4 +219,147 @@ def make_sharded_infer(model, variables, devices=None, dtype=None):
         return stage_refine(disp, left, right, pyrs, orig_h, orig_w)
 
     forward.coarse_fn = coarse_fn
+    return forward
+
+
+def make_sharded_infer_v4(model, variables, devices=None, dtype=None):
+    """Multi-device MobileStereoNetV4 inference: shift-axis sharding for the
+    interweave volume + row (spatial) sharding everywhere else.
+
+    Stage map (model forward: models/stereo_net_v4.py:384-461; reference
+    model/mobile_stereo_net_v4.py:432-524):
+
+    * extract -- the pair-batched MobileV1/V2 extractor + 1x1 squeeze at 1/4
+      res, jit row-sharded (XLA inserts the conv halo exchanges);
+    * volume -- ``make_sharded_v4_volume_fn`` (disparity_sharding.py): each
+      device builds the (B, S/n, h, w) slab for its shift range, features
+      replicated (shifts are embarrassingly parallel; only the scalar slabs
+      are all-gathered);
+    * aggregate+head -- dres blocks, 3 hourglasses, classif and the fused
+      trilinear soft-argmin head, jit row-sharded (rows chosen to divide the
+      1/16-res hourglass floor, see the even-shard rule above).
+
+    Output parity vs single-device ``model.apply`` is pinned by
+    tests/test_sharded_infer.py on the 8-device CPU mesh.
+    """
+    import flax.linen as nn
+
+    from realtime_stereo_matcher_tpu.models.layers import MobileV2Residual
+    from realtime_stereo_matcher_tpu.models.stereo_net_v4 import (
+        Classif,
+        FeatureExtraction,
+        Hourglass2D,
+        InterweaveVolume,
+        PreConv11,
+    )
+    from realtime_stereo_matcher_tpu.ops.cost_volume import (
+        soft_argmin_trilinear,
+    )
+    from realtime_stereo_matcher_tpu.parallel.disparity_sharding import (
+        make_sharded_v4_volume_fn,
+    )
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dev = np.asarray(devices)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def sub(name):
+        v = {"params": params[name]}
+        if name in stats:
+            v["batch_stats"] = stats[name]
+        return v
+
+    align = 16  # hourglass floor: volume at 1/4, two stride-2 levels inside
+    n_disp = math.gcd(model.volume_size, n)
+    mesh_disp = Mesh(dev[:n_disp], ("disp",))
+
+    extractor = FeatureExtraction(bn_groups=2, dtype=dtype)
+    preconv = PreConv11(bn_groups=2, dtype=dtype)
+    vol_mod = InterweaveVolume(
+        n_shifts=model.volume_size,
+        chunk=min(model.volume_chunk, model.volume_size), dtype=dtype)
+    vol_fn = make_sharded_v4_volume_fn(mesh_disp, vol_mod,
+                                       sub("InterweaveVolume_0"))
+
+    er = 3
+    dres = [
+        MobileV2Residual(model.volume_size, model.hg_size, 1, er, dtype=dtype),
+        MobileV2Residual(model.hg_size, model.hg_size, 1, er, dtype=dtype),
+        MobileV2Residual(model.hg_size, model.hg_size, 1, er, dtype=dtype),
+        MobileV2Residual(model.hg_size, model.hg_size, 1, er, dtype=dtype),
+    ]
+    hourglasses = [Hourglass2D(model.hg_size, dtype=dtype) for _ in range(3)]
+    classif3 = Classif(model.hg_size, dtype=dtype)
+
+    def _n_spatial(padded_h: int) -> int:
+        floor_rows = padded_h // align
+        for k in range(min(n, floor_rows), 0, -1):
+            if floor_rows % k == 0:
+                return k
+        return 1
+
+    stage_cache: dict = {}
+
+    def _stages(padded_h: int):
+        if padded_h in stage_cache:
+            return stage_cache[padded_h]
+        n_sp = _n_spatial(padded_h)
+        mesh_sp = Mesh(dev[:n_sp], ("spatial",))
+        rows = NamedSharding(mesh_sp, P(None, "spatial"))
+        rows_vol = NamedSharding(mesh_sp, P(None, None, "spatial"))
+
+        @partial(jax.jit, out_shardings=(rows, rows))
+        def stage_extract(left, right):
+            b = left.shape[0]
+            pair = jnp.concatenate([left, right], axis=0)
+            feat = preconv.apply(sub("PreConv11_0"),
+                                 extractor.apply(sub("FeatureExtraction_0"),
+                                                 pair, False), False)
+            return feat[:b], feat[b:]
+
+        @partial(jax.jit, static_argnums=(1, 2, 3, 4))
+        def stage_aggregate(volume, out_h, out_w, orig_h, orig_w):
+            # model __call__ wiring, eval branch (stereo_net_v4.py:410-461)
+            cost = jnp.transpose(volume, (0, 2, 3, 1))
+            c0 = nn.relu(dres[0].apply(sub("MobileV2Residual_0"), cost, False))
+            cost0 = nn.relu(dres[1].apply(sub("MobileV2Residual_1"), c0,
+                                          False))
+            d1 = nn.relu(dres[2].apply(sub("MobileV2Residual_2"), cost0,
+                                       False))
+            d1 = dres[3].apply(sub("MobileV2Residual_3"), d1, False)
+            cost0 = d1 + cost0
+            out = cost0
+            for i, hg in enumerate(hourglasses):
+                out = hg.apply(sub(f"Hourglass2D_{i}"), out, False)
+            c = classif3.apply(sub("Classif_3"), out, False)
+            c = jnp.transpose(c, (0, 3, 1, 2))
+            pred = soft_argmin_trilinear(c, model.max_disp, (out_h, out_w))
+            return -1.0 * pred[:, :orig_h, :orig_w, None]
+
+        stage_cache[padded_h] = (rows, rows_vol, stage_extract,
+                                 stage_aggregate)
+        return stage_cache[padded_h]
+
+    def forward(left_img, right_img):
+        orig_h, orig_w = left_img.shape[1:3]
+        left_n = normalize_images(jnp.asarray(left_img), dtype)
+        right_n = normalize_images(jnp.asarray(right_img), dtype)
+        left_n, _ = pad_to_multiple(left_n, align)
+        right_n, _ = pad_to_multiple(right_n, align)
+        out_h, out_w = left_n.shape[1:3]
+        rows, rows_vol, stage_extract, stage_aggregate = _stages(out_h)
+
+        left_n = jax.device_put(left_n, rows)
+        right_n = jax.device_put(right_n, rows)
+        featL, featR = stage_extract(left_n, right_n)
+        repl_disp = NamedSharding(mesh_disp, P())
+        featL = jax.device_put(featL, repl_disp)
+        featR = jax.device_put(featR, repl_disp)
+        volume = vol_fn(featL, featR)            # (B, S, h, w)
+        volume = jax.device_put(volume, rows_vol)
+        return [stage_aggregate(volume, out_h, out_w, orig_h, orig_w)]
+
+    forward.volume_fn = vol_fn
     return forward

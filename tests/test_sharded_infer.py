@@ -78,3 +78,35 @@ def test_sharded_infer_v2_v3(rng, model_type):
         g, t = np.asarray(g, np.float32), np.asarray(t, np.float32)
         assert g.shape == t.shape == (1, h, w, 1)
         np.testing.assert_allclose(g, t, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_infer_v4(rng):
+    """V4: shift-axis sharded interweave volume + row-sharded extractor,
+    aggregation and fused trilinear head vs single-device apply."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    model = build_model({"type": "MobileStereoNetV4",
+                         "parameters": {"max_disp": 32, "volume_size": 8,
+                                        "hg_size": 8}})
+    h, w = 64, 96
+    left = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+
+    want = model.apply(variables, left, right, train=False)
+    got = make_sharded_infer(model, variables)(left, right)
+
+    assert len(got) == len(want) == 1
+    g, t = np.asarray(got[0], np.float32), np.asarray(want[0], np.float32)
+    assert g.shape == t.shape == (1, h, w, 1)
+    np.testing.assert_allclose(g, t, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_infer_dispnetc_exempt(rng):
+    """DispNetC raises a documented exemption, not a bare NotImplemented."""
+    model = build_model({"type": "MobileDispNetC",
+                         "parameters": {"hidden_dim": 8, "max_disp": 32}})
+    left = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+    with pytest.raises(NotImplementedError, match="single-chip by design"):
+        make_sharded_infer(model, variables)
