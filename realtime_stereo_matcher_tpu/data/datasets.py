@@ -376,7 +376,7 @@ def build_train_dataset(exp_config, *, raw=False) -> ConcatDataset | StereoDatas
         return osp.join(root, name) if root else None
 
     def cp():
-        return None if aug_params is None else cp()
+        return None if aug_params is None else dict(aug_params)
 
     train_dataset = None
     for dataset_name in exp_config.train.datasets:

@@ -24,8 +24,11 @@ The flat layout is preserved across a whole conv stack (see
 :class:`ops in models/stereo_net.py`): pad once, run N fused convs, unpad
 once.  Halo columns/rows are kept zeroed so SAME zero-padding semantics hold.
 
-Inference-path only (eval-mode BN folded); training uses the XLA path with
-the same parameters.
+Used on both the inference path (eval-mode BN folded into the epilogue
+scale/bias, models/fast_infer.py) and the training path: kernels/train_conv.py
+wraps this kernel in a ``jax.custom_vjp`` (dx via the same kernel with
+spatially-flipped folded weights, dw via full-lane folded MXU reductions) and
+models/fast_train.py builds whole train steps from it with live-BN semantics.
 """
 
 from __future__ import annotations
@@ -477,13 +480,20 @@ def fold_conv3x3_s2_weights(w: jnp.ndarray,
     return jnp.asarray(wn)
 
 
-def _build_s2_kernel(th, kc, wt_out, relu, n):
+S2_TAPS_3x3 = ((0, 0), (0, 1), (1, 0))
+# 4x4 stride-2 TF-SAME: out row Y reads input rows 2Y-1..2Y+2 = pair taps
+# [Y,0], [Y,1], [Y+1,0], [Y+1,1]
+S2_TAPS_4x4 = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _build_s2_kernel(th, kc, wt_out, relu, n, taps=S2_TAPS_3x3, pair0=1):
     """Stride-2 conv pipeline: grid over *output* row tiles of ``th`` rows.
 
     Input arrives as row-pairs ``(H/2+1, 2, WTP, 256)`` (see
     :func:`fused_conv3x3_s2_flat`); each tile DMAs th+1 row-pairs and runs
-    6 K=256 matmuls (3 row taps x {edge, main} pair).  Output is a normal
-    phase-0 flat activation ``(PADR + H/2 + PADR, WT_out, 128)``.
+    ``len(taps) * 2`` K=256 matmuls (row taps x {edge, main} pair sides at
+    base pair offset ``pair0``).  Output is a normal phase-0 flat
+    activation ``(PADR + H/2 + PADR, WT_out, 128)``.
     """
 
     def kernel(x_hbm, w_ref, sb_ref, out_hbm, xs2, ys2, acc_ref,
@@ -511,14 +521,13 @@ def _build_s2_kernel(th, kc, wt_out, relu, n):
         in_copy(i, slot).wait()
 
         # row-pair r of the buffer = input image rows (2r-1, 2r) relative to
-        # this tile's first output row; out row y reads taps
-        # [y, 0] (2y-1), [y, 1] (2y), [y+1, 0] (2y+1)
-        taps = ((0, 0), (0, 1), (1, 0))
+        # this tile's first output row (3x3 default: out row y reads taps
+        # [y, 0] (2y-1), [y, 1] (2y), [y+1, 0] (2y+1))
         first = True
         for di, (r0, comp) in enumerate(taps):
-            for side in range(2):  # 0 = edge (pair offset 1), 1 = main (2)
+            for side in range(2):
                 a = xs2[slot, pl.ds(r0, th), comp,
-                        pl.ds(1 + side, kc), :]
+                        pl.ds(pair0 + side, kc), :]
                 a = a.reshape(th * kc, 2 * LANES)
                 blk = w_ref[di * 2 + side]
                 prod = jax.lax.dot_general(
@@ -531,8 +540,10 @@ def _build_s2_kernel(th, kc, wt_out, relu, n):
                     acc_ref[:] += prod
 
         y = acc_ref[:] * sb_ref[0][None, :] + sb_ref[1][None, :]
-        if relu:
+        if relu is True:
             y = jnp.maximum(y, 0.0)
+        elif relu:
+            y = jnp.maximum(y, 0.0) + relu * jnp.minimum(y, 0.0)
         y = y.astype(ys2.dtype).reshape(th, kc, LANES)
 
         if n > 2:
@@ -568,8 +579,9 @@ def _build_s2_kernel(th, kc, wt_out, relu, n):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "th"))
-def _conv_s2_call(xf, w_blocks, scale_bias, *, relu, th):
+@functools.partial(jax.jit, static_argnames=("relu", "th", "taps", "pair0"))
+def _conv_s2_call(xf, w_blocks, scale_bias, *, relu, th, taps=S2_TAPS_3x3,
+                  pair0=1):
     rows, wt, _ = xf.shape
     h = rows - 2 * PADR
     assert h % 2 == 0, h
@@ -586,7 +598,8 @@ def _conv_s2_call(xf, w_blocks, scale_bias, *, relu, th):
     xq = jax.lax.slice_in_dim(xf, PADR - 1, PADR + h + 1, axis=0)
     xq = xq.reshape(h2 + 1, 2, wtp, 2 * LANES)
 
-    kernel = _build_s2_kernel(th, kc, wt_out, relu, n_tiles)
+    kernel = _build_s2_kernel(th, kc, wt_out, relu, n_tiles, taps=taps,
+                              pair0=pair0)
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kernel,
@@ -608,11 +621,81 @@ def _conv_s2_call(xf, w_blocks, scale_bias, *, relu, th):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 6 * h2 * kc * 2 * LANES * LANES,
+            flops=2 * 2 * len(taps) * h2 * kc * 2 * LANES * LANES,
             bytes_accessed=(rows * wt + (2 * PADR + h2) * wt_out) * LANES * 2,
             transcendentals=0),
     )(xq, w_blocks.astype(xf.dtype), scale_bias)
     return out
+
+
+def fold_conv4x4_s2_weights(w: jnp.ndarray,
+                            c_in_pad: int | None = None,
+                            c_out_pad: int | None = None) -> jnp.ndarray:
+    """(4, 4, C_in, C_out) HWIO stride-2 TF-SAME weights -> (8, 256, 128)
+    blocks for a **phase-2 input** (the v3 U-Net's k4s2 downsamplers,
+    reference model/mobile_stereo_net_v3.py:205-231 via flax SAME padding).
+
+    TF-SAME k4s2 (pad_lo=1): out px X reads in px 2X-1..2X+2, tap
+    a = u - (2X-1).  With the input at pixel phase 2 (px u stored at flat
+    position u+2), output tile k (px 4k+p) reads canvas pairs k ("main",
+    side 0: positions 8k..8k+7 = px 8k-2..8k+5) and k+1 ("high", side 1:
+    px 8k+6..8k+13):
+
+        block[dy*2 + side][j*C_in + ci, p*C_out + co] = w[dy, a, ci, co]
+            with a = 8*side + j - 2p - 1, iff 0 <= a <= 3.
+
+    Output is at pixel phase 0.  Row taps [Y,0](2Y-1) .. [Y+1,1](2Y+2) =
+    :data:`S2_TAPS_4x4`.
+    """
+    kh, kw, c_in, c_out = w.shape
+    assert kh == 4 and kw == 4
+    cip = c_in_pad or c_in
+    cop = c_out_pad or c_out
+    assert _fold(cip) == _fold(cop) == 4, "s2 fold is specialized to f=4"
+
+    wn = np.zeros((8, 2 * LANES, LANES), np.float32)
+    w_np = np.asarray(w, np.float32)
+    for dy in range(4):
+        for side in range(2):
+            blk = wn[dy * 2 + side]
+            for j in range(8):
+                for p in range(4):
+                    a = 8 * side + j - 2 * p - 1
+                    if 0 <= a <= 3:
+                        blk[j * cip:j * cip + c_in,
+                            p * cop:p * cop + c_out] = w_np[dy, a]
+    return jnp.asarray(wn)
+
+
+def fused_conv4x4_s2_flat(xf, w_blocks, scale, bias, *, relu=True, th=16):
+    """Stride-2 4x4 TF-SAME fused conv on a **phase-2** flat activation:
+    (PADR+H+PADR, WT, 128) -> (PADR+H/2+PADR, WT_out, 128), phase 0.
+
+    ``w_blocks`` from :func:`fold_conv4x4_s2_weights`; ``relu`` follows the
+    fused_conv3x3_flat convention (True / leaky alpha / falsy).  The jnp
+    formulation of this op (strided tile-dim slices + einsum) measured
+    6.9 ms at 720p full->1/2 on v5e -- XLA lowers stride-2 slices on the
+    sublane dim as relayout copies; this kernel reads the same data as
+    contiguous row/tile pairs.
+    """
+    rows, wt, _ = xf.shape
+    h2 = (rows - 2 * PADR) // 2
+    kc = (wt - 2 * PADC_TILES - SPARE_TILES) // 2
+    assert kc % 8 == 0, kc
+    wtp = wt // 2
+    itemsize = jnp.dtype(xf.dtype).itemsize
+    budget = 12 * 1024 * 1024
+
+    def vmem(t):
+        return ((2 * (t + 1) * 2 * wtp * 2 + 2 * max(t, PADR) *
+                 (kc + SPARE_TILES + 2 * PADC_TILES)) * LANES * itemsize
+                + t * kc * LANES * 4)
+
+    t = next(t for t in range(min(th, h2), 0, -1)
+             if h2 % t == 0 and vmem(t) <= budget)
+    sb = jnp.stack([scale, bias]).astype(jnp.float32)
+    return _conv_s2_call(xf, w_blocks, sb, relu=relu, th=t,
+                         taps=S2_TAPS_4x4, pair0=2)
 
 
 def fused_conv3x3_s2_flat(xf, w_blocks, scale, bias, *, relu=True, th=16):

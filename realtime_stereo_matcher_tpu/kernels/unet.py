@@ -79,6 +79,17 @@ def _kconv(params, name, phase_in):
     return KConv(blocks, scale, bias, phase_in)
 
 
+def _kconv9(params, name, phase_in):
+    """Phase-preserving 9-block fold (used to end the bottleneck stack at
+    phase 0 for the flat up-projection)."""
+    w = np.asarray(params[name]["kernel"], np.float32)
+    blocks = k3.fold_conv3x3_weights(w, dilation=1, c_in_pad=32,
+                                     c_out_pad=32)
+    scale, bias = k3.plain_scale_bias(
+        jnp.asarray(params[name]["bias"], jnp.float32), w.shape[-1], 32)
+    return KConv(blocks, scale, bias, phase_in)
+
+
 def build_unet_plan(params, down_factor: int = 3) -> UNetPlan:
     """Fold a UNetFeatureExtractor param subtree into the execution plan.
 
@@ -183,3 +194,241 @@ def fast_unet(x: jnp.ndarray, plan: UNetPlan, *, dtype=jnp.bfloat16):
         y = _run_kconvs(y, kconvs)
         up.append(y)
     return up
+
+
+# ---------------------------------------------------------------------------
+# Flat-lane U-Net: the whole extractor stays in the lane-folded layout.
+#
+# The measured failure mode of ``fast_unet`` above was the XLA glue between
+# kernel convs: every inter-level op (k4s2 downsampler, 2x up-projection,
+# 1x1 skip-mix) ran in NHWC at C=32 and paid 1.4-3.5 ms of pure relayout at
+# 720p.  Here the glue itself is expressed ON the flat layout
+# (rows, W_tiles, 128) as dense [N,128]@[128,128] lane-block matmuls -- the
+# lane dimension is full, so XLA emits straight MXU matmuls with no
+# relayout.  Only the 3->32 stem and the tiny 1/8-res bottleneck remain in
+# NHWC.  Weight blocks are built once (numpy) from the Flax params; the
+# per-(tap, tile-offset) mapping generalizes fold_conv3x3_weights to
+# stride-2 4x4 and transpose-2x2 geometry, including the 2-pixel phase shift
+# the split-window 3x3 kernels introduce (phase-2 skips are mixed in with
+# two half-filled blocks at tile offsets {0, +1}).
+# ---------------------------------------------------------------------------
+
+
+def _to_flat_phase2(x, c_pad):
+    """(1, H, W, C) -> flat canvas at pixel phase 2 (px x stored at flat
+    position x+2), the input phase of :func:`conv3x3.fused_conv4x4_s2_flat`.
+
+    Same canvas geometry as ``to_flat``; the 2-px shift spills one tile into
+    the spare region (zero-filled beyond the image, preserving SAME
+    semantics)."""
+    b, h, w, c = x.shape
+    assert b == 1 and w % 4 == 0
+    if c < c_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+    xp = jnp.pad(x[0], ((0, 0), (2, 2), (0, 0)))
+    xf = xp.reshape(h, w // 4 + 1, k3.LANES)
+    return jnp.pad(xf, ((k3.PADR, k3.PADR),
+                        (k3.PADC_TILES,
+                         k3.SPARE_TILES - 1 + k3.PADC_TILES), (0, 0)))
+
+
+def _fold_up2x_blocks(w_flipped):
+    """Pre-flipped (2, 2, 32, 32) ConvTranspose weights -> U[qr][e].
+
+    Output pixel X = 4(2s+e)+p at full-lane tile 2s+e reads input tile s
+    lane-pixel j = (4e+p)//2 with column tap p%2 and row tap qr (output row
+    2r'+qr from input row r').
+    """
+    w = np.asarray(w_flipped, np.float32)
+    out = [[None, None], [None, None]]
+    for qr in range(2):
+        for e in range(2):
+            blk = np.zeros((k3.LANES, k3.LANES), np.float32)
+            for p in range(4):
+                j = (4 * e + p) // 2
+                blk[j * 32:j * 32 + 32, p * 32:p * 32 + 32] = w[qr, p % 2]
+            out[qr][e] = jnp.asarray(blk)
+    return tuple(tuple(r) for r in out)
+
+
+def _fold_mix_blocks(mix_w, skip_phase: int):
+    """(1, 1, 64, 32) skip-mix weights -> (Mu, [(tile_off, Ms), ...]).
+
+    Channels 0:32 see the (phase-0) upsampled features, 32:64 the skip.  A
+    phase-``skip_phase`` skip stores image px x at flat position x+phase, so
+    output lane-pixel p reads skip lane-pixel p+phase -- split across tile
+    offsets 0 and +1 when the phase pushes it past lane-pixel 3.
+    """
+    w = np.asarray(mix_w, np.float32)[0, 0]            # (64, 32)
+    mu, ms = w[:32], w[32:]
+    blk_u = np.zeros((k3.LANES, k3.LANES), np.float32)
+    for p in range(4):
+        blk_u[p * 32:p * 32 + 32, p * 32:p * 32 + 32] = mu
+    skips = []
+    for off in (0, 1):
+        blk = np.zeros((k3.LANES, k3.LANES), np.float32)
+        hit = False
+        for p in range(4):
+            j = p + skip_phase - 4 * off
+            if 0 <= j <= 3:
+                blk[j * 32:j * 32 + 32, p * 32:p * 32 + 32] = ms
+                hit = True
+        if hit:
+            skips.append((off, jnp.asarray(blk)))
+    return jnp.asarray(blk_u), tuple(skips)
+
+
+def _bias128(b):
+    """(32,) bias -> (128,) lane bias (tiled over the 4 folded pixels)."""
+    return jnp.asarray(np.tile(np.asarray(b, np.float32), 4))
+
+
+def _canvas(core):
+    """(H, T, 128) core -> flat canvas with zero halos (to_flat geometry)."""
+    return jnp.pad(core, ((k3.PADR, k3.PADR),
+                          (k3.PADC_TILES, k3.SPARE_TILES + k3.PADC_TILES),
+                          (0, 0)))
+
+
+def _blk_mm(x, blk):
+    return jnp.einsum("htk,kl->htl", x, blk.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _up2x_flat(xf, ublocks, bias, h_in, t_in):
+    """2x up-projection (ConvTranspose k2s2) on a flat canvas -> phase-0
+    core at (2*h_in, 2*t_in)."""
+    core = xf[k3.PADR:k3.PADR + h_in, k3.PADC_TILES:k3.PADC_TILES + t_in]
+    rows = []
+    for qr in range(2):
+        cols = [_blk_mm(core, ublocks[qr][e]) for e in range(2)]
+        rows.append(jnp.stack(cols, axis=2).reshape(h_in, 2 * t_in, k3.LANES))
+    out = jnp.stack(rows, axis=1).reshape(2 * h_in, 2 * t_in, k3.LANES)
+    return _leaky(out + bias).astype(xf.dtype)
+
+
+def _mix_flat(up_core, skip_canvas, blk_u, skip_blocks, bias, h, t):
+    """concat(up, skip) + 1x1 mix as two (or three) lane matmuls."""
+    acc = _blk_mm(up_core, blk_u)
+    for off, blk in skip_blocks:
+        c0 = k3.PADC_TILES + off
+        sl = skip_canvas[k3.PADR:k3.PADR + h, c0:c0 + t]
+        acc = acc + _blk_mm(sl, blk)
+    return _leaky(acc + bias).astype(up_core.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatUNetPlan:
+    base: UNetPlan
+    k4_blocks: tuple      # per down level: ((8, 256, 128), scale, bias)
+    bott: tuple           # 1/8 bottleneck KConvs (split, split, 9-block)
+    up_blocks: tuple      # ALL up levels: (U, ubias128, Mu,
+    #                       skip_blocks, mixbias128)
+
+
+def build_unet_flat_plan(params, down_factor: int = 3) -> FlatUNetPlan:
+    base = build_unet_plan(params, down_factor)
+    # every k4s2 runs the phase-2-input Pallas kernel: the stem is folded at
+    # phase 2 (_to_flat_phase2) and Conv_2/Conv_4 are single split-window
+    # convs whose output is phase 2
+    k4 = []
+    for k4w, k4b, _ in base.down:
+        k4.append((k3.fold_conv4x4_s2_weights(k4w, 32, 32),
+                   *k3.plain_scale_bias(jnp.asarray(k4b, jnp.float32),
+                                        k4w.shape[-1], 32)))
+    # 1/8 bottleneck fully in kernels; the final 9-block conv keeps phase 0
+    # so the flat up-projection reads a phase-0 canvas
+    bott = (_kconv(params, "Conv_6", 0), _kconv(params, "Conv_7", 2),
+            _kconv9(params, "Conv_8", 0))
+    # flat up levels (1/8 -> 1/4 -> 1/2 -> full); every skip is phase 2
+    # (down levels after their split conv, the stem via its phase-2 fold)
+    ups = []
+    for (ctw, ctb, mixw, mixb, _), skip_phase in zip(base.up, (2, 2, 2)):
+        mu, sblocks = _fold_mix_blocks(mixw, skip_phase)
+        ups.append((_fold_up2x_blocks(ctw), _bias128(ctb), mu, sblocks,
+                    _bias128(mixb)))
+    return FlatUNetPlan(base, tuple(k4), bott, tuple(ups))
+
+
+def _run_kconvs_flat(xf, kconvs):
+    """Run fused convs on an already-flat canvas; returns (canvas, phase).
+
+    Split-window KConvs flip the pixel phase (0 <-> 2); 9-block KConvs
+    (:func:`_kconv9`) preserve it."""
+    phase = 0
+    for kc in kconvs:
+        assert kc.phase_in == phase, (kc.phase_in, phase)
+        xf = k3.fused_conv3x3_flat(xf, kc.blocks, kc.scale, kc.bias,
+                                   dilation=1, relu=LEAK, phase_in=phase)
+        phase = (2 - phase) if kc.blocks.shape[0] == 6 else phase
+    return xf, phase
+
+
+def _unet_flat_from_stem(s_flat, plan: FlatUNetPlan, h, w):
+    """Down + bottleneck + up path from a phase-2 folded stem; returns
+    [y8_canvas, (uf, phase) x3] all in the flat layout (phase 0)."""
+    base = plan.base
+    t = w // 4
+
+    # down path: k4s2 (phase-2 Pallas kernel) + one split-window kernel
+    # conv per level
+    d1 = k3.fused_conv4x4_s2_flat(s_flat, *plan.k4_blocks[0], relu=LEAK)
+    d1, _ = _run_kconvs_flat(d1, base.down[0][2])          # phase 2
+    d2 = k3.fused_conv4x4_s2_flat(d1, *plan.k4_blocks[1], relu=LEAK)
+    d2, _ = _run_kconvs_flat(d2, base.down[1][2])          # phase 2
+    b8 = k3.fused_conv4x4_s2_flat(d2, *plan.k4_blocks[2], relu=LEAK)
+
+    # 1/8 bottleneck: split/split/9-block kernel convs, ends phase 0
+    uf, ph = _run_kconvs_flat(b8, plan.bott)
+    assert ph == 0
+    y8 = uf
+
+    flat_levels = []
+    skips = (d2, d1, s_flat)
+    dims = ((h // 8, t // 8), (h // 4, t // 4), (h // 2, t // 2))
+    for lvl, (ub, ubias, mu, sblocks, mbias) in enumerate(plan.up_blocks):
+        hi, ti = dims[lvl]
+        up_core = _up2x_flat(uf, ub, ubias, hi, ti)
+        core = _mix_flat(up_core, skips[lvl], mu, sblocks, mbias,
+                         2 * hi, 2 * ti)
+        uf, _ = _run_kconvs_flat(_canvas(core), base.up[lvl][4])
+        flat_levels.append((uf, 0))
+    return y8, flat_levels
+
+
+def _unfold_pyramid(y8, flat_levels, h, w):
+    pyramid = [k3.from_flat(y8, h // 8, w // 8, 32, 32, phase=0)]
+    for lvl, (xf, phase) in enumerate(flat_levels):
+        hi = h >> (2 - lvl)
+        wi = w >> (2 - lvl)
+        pyramid.append(k3.from_flat(xf, hi, wi, 32, 32, phase=phase))
+    return pyramid
+
+
+def fast_unet_flat(x: jnp.ndarray, plan: FlatUNetPlan, *, dtype=jnp.bfloat16):
+    """UNetFeatureExtractor forward, whole pipeline in the flat layout.
+
+    Returns the pyramid [1/8, 1/4, 1/2, full] as NHWC arrays."""
+    x = x.astype(dtype)
+    stem = _conv(x, plan.base.conv0_w, plan.base.conv0_b,
+                 padding=((1, 1), (1, 1)))
+    _, h, w, _ = stem.shape
+    y8, flat_levels = _unet_flat_from_stem(_to_flat_phase2(stem, 32),
+                                           plan, h, w)
+    return _unfold_pyramid(y8, flat_levels, h, w)
+
+
+def fast_unet_flat_pair(left, right, plan: FlatUNetPlan, *,
+                        dtype=jnp.bfloat16):
+    """Both views' pyramids; the 3->32 stems run as ONE batch-2 XLA conv
+    (the only NHWC op left), the flat pipelines run per view."""
+    x2 = jnp.concatenate([left, right], axis=0).astype(dtype)
+    stems = _conv(x2, plan.base.conv0_w, plan.base.conv0_b,
+                  padding=((1, 1), (1, 1)))
+    _, h, w, _ = stems.shape
+    pyramids = []
+    for v in range(2):
+        y8, levels = _unet_flat_from_stem(
+            _to_flat_phase2(stems[v:v + 1], 32), plan, h, w)
+        pyramids.append(_unfold_pyramid(y8, levels, h, w))
+    return pyramids

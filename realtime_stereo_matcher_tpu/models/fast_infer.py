@@ -98,20 +98,27 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
     ]
 
     enc_plan = None
+    unet_plan = None
     if variant == "v3":
-        # NOTE on the U-Net: a kernelized extractor exists (kernels/unet.py,
-        # parity-pinned) but is NOT wired here -- measured 2 x 17.8 ms per
-        # view vs 31.5 ms for this batch-2 XLA pass at 720p: the fused convs
-        # win 4x but the XLA glue between them (stem, k4s2, up-projection
-        # interleave, 1x1 skip-mix -- all layout-bound at C<=64) dominates.
-        # The remaining lever is keeping the whole U-Net in the flat lane
-        # layout (future work); multi-chip v3 scales via
-        # parallel/sharded_infer.py spatial sharding instead.
+        # round 4: the flat-lane U-Net (kernels/unet.py fast_unet_flat)
+        # replaces the batch-2 XLA extractor.  Round 3's first kernelized
+        # attempt (fast_unet) lost to XLA glue between levels (stem, k4s2,
+        # up-projection interleave, 1x1 skip-mix: 1.4-3.5 ms of NHWC
+        # relayout each at 720p); the flat variant expresses that glue as
+        # full-lane 128x128 block matmuls on the folded layout, so only the
+        # stem and the 1/8-res bottleneck remain in NHWC.
         extractor = UNetFeatureExtractor(
             hidden_dims=(model.hidden_dim,) * (down + 1), dtype=dtype)
         enc_vars = {"params": params["UNetFeatureExtractor_0"],
                     "batch_stats": batch_stats.get("UNetFeatureExtractor_0",
                                                    {})}
+        if model.hidden_dim == 32 and down == 3:
+            from realtime_stereo_matcher_tpu.kernels.unet import (
+                build_unet_flat_plan,
+            )
+
+            unet_plan = build_unet_flat_plan(
+                params["UNetFeatureExtractor_0"], down)
     else:
         extractor = FeatureEncoder(model.hidden_dim, down, dtype=dtype)
         enc_vars = {"params": params["FeatureEncoder_0"],
@@ -136,6 +143,14 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
         if enc_plan is not None:
             lf = fast_encoder(left, enc_plan, dtype=dtype)
             rf = fast_encoder(right, enc_plan, dtype=dtype)
+        elif unet_plan is not None:
+            from realtime_stereo_matcher_tpu.kernels.unet import (
+                fast_unet_flat_pair,
+            )
+
+            l_py, r_py = fast_unet_flat_pair(left, right, unet_plan,
+                                             dtype=dtype)
+            lf, rf = l_py[0], r_py[0]
         else:
             # one batch-2 extractor pass instead of two batch-1 passes
             feats = extractor.apply(
