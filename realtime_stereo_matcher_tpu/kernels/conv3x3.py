@@ -168,20 +168,29 @@ def split_offsets(phase_in: int) -> tuple[int, int]:
     return (-1, 0) if phase_in == 0 else (0, 1)
 
 
-def to_flat(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+def to_flat(x: jnp.ndarray, c_pad: int, phase: int = 0) -> jnp.ndarray:
     """(B=1, H, W, C) -> flat (PADR+H+PADR, WT, 128) with zero halos.
 
     WT = PADC + (W/f + SPARE_TILES) + PADC: the core "canvas" carries
     SPARE_TILES zero tiles past the image so phase-shifted activations stay
-    8-aligned (see :data:`SPARE_TILES`)."""
+    8-aligned (see :data:`SPARE_TILES`).  ``phase=2`` stores image pixel x
+    at flat position x+2 (the split-window convention), spilling one tile
+    into the spare region."""
     b, h, w, c = x.shape
     assert b == 1, "flat kernel path is the batch-1 latency path"
     f = _fold(c_pad)
     assert w % f == 0, (w, f)
     assert (w // f) % 8 == 0, (
         f"flat width {w // f} tiles must be 8-aligned (W multiple of {8 * f})")
+    assert phase in (0, 2), phase
     if c < c_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
+    if phase:
+        xp = jnp.pad(x[0], ((0, 0), (phase, f - phase), (0, 0)))
+        xf = xp.reshape(h, w // f + 1, LANES)
+        xf = jnp.pad(xf, ((PADR, PADR),
+                          (PADC_TILES, SPARE_TILES - 1 + PADC_TILES), (0, 0)))
+        return xf
     xf = x[0].reshape(h, w // f, LANES)
     xf = jnp.pad(xf, ((PADR, PADR),
                       (PADC_TILES, SPARE_TILES + PADC_TILES), (0, 0)))

@@ -51,15 +51,26 @@ class ConvSpec:
 
 @dataclasses.dataclass(frozen=True)
 class RefinePlan:
-    """Execution plan for one RefineNet: optional XLA entry conv (used when
+    """Execution plan for one RefineNet: optional entry-conv handling (when
     the concat input exceeds the 32-channel lane fold, e.g. v3's 65ch) plus
-    the lane-folded kernel stack."""
+    the lane-folded kernel stack.
+
+    v3's 65-ch entry (disp ‖ l_fmap32 ‖ warped_r_fmap32) is split by input
+    channel -- conv(concat(a, b, c)) == conv_a(a) + conv_b(b) + conv_c(c) --
+    so the two 32-ch parts run on the fused kernel (BN scale pre-folded into
+    the weights, summed via the linear residual input) and only the 1-ch
+    disparity tap stays as a 9-shift vector op; ``entry_w`` is the XLA
+    fallback for non-(1+2*32) widths."""
 
     specs: tuple               # tuple[ConvSpec, ...]
     entry_w: jnp.ndarray | None = None      # (3, 3, C_in, 32) HWIO
     entry_scale: jnp.ndarray | None = None  # (32,) eval-BN folded
     entry_bias: jnp.ndarray | None = None   # (32,)
     final_phase: int = 0       # pixel phase of the head conv's output
+    entry_l: jnp.ndarray | None = None      # (6, 128, 128) split fold, l part
+    entry_r: jnp.ndarray | None = None      # (6, 128, 128) split fold, r part
+    entry_d: jnp.ndarray | None = None      # (3, 3, 32) disp-tap weights
+    entry_b128: jnp.ndarray | None = None   # (128,) folded BN bias, tiled
 
 
 def _fold_convbn(conv_p, bn_p, bn_s, dilation, c_pad=32, phase_in=0):
@@ -110,6 +121,7 @@ def build_refine_plan(params, batch_stats,
     """
     specs: list[ConvSpec] = []
     entry_w = entry_scale = entry_bias = None
+    entry_l = entry_r = entry_d = entry_b128 = None
     phase = 0                    # pixel phase entering the next conv
     hist_phase = [0]             # phase of each history entry
 
@@ -117,7 +129,24 @@ def build_refine_plan(params, batch_stats,
         specs.append(spec)
         hist_phase.append(phase_out)
 
-    if entry_channels > c_pad:
+    if entry_channels == 1 + 2 * c_pad:
+        # v3 kernel-entry split (see RefinePlan docstring): BN scale folds
+        # into the per-part weights, BN bias rides the second kernel conv
+        w = np.asarray(params["ConvBN_0"]["Conv_0"]["kernel"], np.float32)
+        scale, bias = _fold_bn_eval(params["ConvBN_0"]["BatchNorm_0"],
+                                    batch_stats["ConvBN_0"]["BatchNorm_0"])
+        s = np.asarray(scale, np.float32)
+        entry_l = k3.fold_conv3x3_split_weights(
+            w[:, :, 1:1 + c_pad] * s, dilation=1, phase_in=0,
+            c_in_pad=c_pad, c_out_pad=c_pad)
+        entry_r = k3.fold_conv3x3_split_weights(
+            w[:, :, 1 + c_pad:] * s, dilation=1, phase_in=0,
+            c_in_pad=c_pad, c_out_pad=c_pad)
+        entry_d = jnp.asarray(w[:, :, 0] * s)              # (3, 3, 32)
+        entry_b128 = jnp.asarray(np.tile(np.asarray(bias, np.float32), 4))
+        phase = 2                # split-fold entry output phase
+        hist_phase = [2]
+    elif entry_channels > c_pad:
         entry_w = jnp.asarray(params["ConvBN_0"]["Conv_0"]["kernel"],
                               jnp.float32)
         entry_scale, entry_bias = _fold_bn_eval(
@@ -158,7 +187,22 @@ def build_refine_plan(params, batch_stats,
         if head.get("bias") is not None else None, w.shape[-1], c_pad)
     push(ConvSpec(blocks, scale, bias, 1, False, None, phase), 2 - phase)
     return RefinePlan(tuple(specs), entry_w, entry_scale, entry_bias,
-                      final_phase=2 - phase)
+                      final_phase=2 - phase, entry_l=entry_l,
+                      entry_r=entry_r, entry_d=entry_d,
+                      entry_b128=entry_b128)
+
+
+def _disp_tap(disp, wd, dtype):
+    """1-channel 3x3 SAME conv as 9 shifted scalar broadcasts:
+    (1, H, W, 1) f32 disp x (3, 3, 32) weights -> (1, H, W, 32)."""
+    h, w = disp.shape[1:3]
+    dp = jnp.pad(disp[..., 0].astype(dtype), ((0, 0), (1, 1), (1, 1)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            part = dp[:, dy:dy + h, dx:dx + w, None] * wd[dy, dx].astype(dtype)
+            acc = part if acc is None else acc + part
+    return acc
 
 
 def run_refine_stack(xf: jnp.ndarray, specs: Sequence[ConvSpec]) -> jnp.ndarray:
@@ -210,21 +254,36 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
                 r_guide = warp_by_flow_map_matmul(
                     r_guide.astype(dtype), disp)
         feats.append(r_guide)
-    x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
 
-    if plan.entry_w is not None:
-        # wide entry conv (v3: 65ch) stays in XLA with eval-folded BN + ReLU
-        y = jax.lax.conv_general_dilated(
-            x, plan.entry_w.astype(dtype), (1, 1), [(1, 1)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x = jnp.maximum(
-            y * plan.entry_scale.astype(dtype)
-            + plan.entry_bias.astype(dtype), 0)
+    if plan.entry_l is not None:
+        # kernel entry split (v3 65ch): two fused 32-ch convs summed via the
+        # linear residual input + the 9-shift disparity tap, ReLU on the
+        # flat canvas (phase 2)
+        ones = jnp.ones((LANES,), jnp.float32)
+        zeros = jnp.zeros((LANES,), jnp.float32)
+        lf = k3.to_flat(l_guide.astype(dtype), 32)
+        rf = k3.to_flat(r_guide.astype(dtype), 32)
+        p1 = k3.fused_conv3x3_flat(lf, plan.entry_l, ones, zeros,
+                                   dilation=1, relu=False, phase_in=0)
+        p2 = k3.fused_conv3x3_flat(rf, plan.entry_r, ones, plan.entry_b128,
+                                   dilation=1, relu=False, residual=p1,
+                                   phase_in=0)
+        d = _disp_tap(disp, plan.entry_d, dtype)
+        xf = jnp.maximum(p2 + k3.to_flat(d, 32, phase=2), 0).astype(dtype)
     else:
-        c_in = x.shape[-1]
-        assert c_in <= 32, f"refine input {c_in}ch exceeds the 32-ch fold"
-
-    xf = k3.to_flat(x, 32)
+        x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
+        if plan.entry_w is not None:
+            # wide entry conv stays in XLA with eval-folded BN + ReLU
+            y = jax.lax.conv_general_dilated(
+                x, plan.entry_w.astype(dtype), (1, 1), [(1, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jnp.maximum(
+                y * plan.entry_scale.astype(dtype)
+                + plan.entry_bias.astype(dtype), 0)
+        else:
+            c_in = x.shape[-1]
+            assert c_in <= 32, f"refine input {c_in}ch exceeds the 32-ch fold"
+        xf = k3.to_flat(x, 32)
     yf = run_refine_stack(xf, plan.specs)
     delta = k3.from_flat(yf, h2, w2, 1, 32,
                          phase=plan.final_phase).astype(jnp.float32)

@@ -215,21 +215,9 @@ def fast_unet(x: jnp.ndarray, plan: UNetPlan, *, dtype=jnp.bfloat16):
 
 
 def _to_flat_phase2(x, c_pad):
-    """(1, H, W, C) -> flat canvas at pixel phase 2 (px x stored at flat
-    position x+2), the input phase of :func:`conv3x3.fused_conv4x4_s2_flat`.
-
-    Same canvas geometry as ``to_flat``; the 2-px shift spills one tile into
-    the spare region (zero-filled beyond the image, preserving SAME
-    semantics)."""
-    b, h, w, c = x.shape
-    assert b == 1 and w % 4 == 0
-    if c < c_pad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - c)))
-    xp = jnp.pad(x[0], ((0, 0), (2, 2), (0, 0)))
-    xf = xp.reshape(h, w // 4 + 1, k3.LANES)
-    return jnp.pad(xf, ((k3.PADR, k3.PADR),
-                        (k3.PADC_TILES,
-                         k3.SPARE_TILES - 1 + k3.PADC_TILES), (0, 0)))
+    """Phase-2 fold (px x at flat position x+2), the input phase of
+    :func:`conv3x3.fused_conv4x4_s2_flat`."""
+    return k3.to_flat(x, c_pad, phase=2)
 
 
 def _fold_up2x_blocks(w_flipped):

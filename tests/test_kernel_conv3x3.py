@@ -128,3 +128,30 @@ def test_split_fold_phase_stack_matches_xla(rng):
     got = from_flat(yf, h, w, c, 32, phase=phase)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_conv4x4_s2_matches_xla(rng):
+    """Stride-2 4x4 TF-SAME kernel (phase-2 input, leaky epilogue) vs XLA --
+    the v3 U-Net downsampler geometry (kernels/unet.py)."""
+    from realtime_stereo_matcher_tpu.kernels.conv3x3 import (
+        fold_conv4x4_s2_weights,
+        fused_conv4x4_s2_flat,
+    )
+
+    h, w, c = 16, 64, 32
+    x = jnp.asarray(rng.standard_normal((1, h, w, c), dtype=np.float32))
+    wts = jnp.asarray(
+        rng.standard_normal((4, 4, c, c), dtype=np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
+
+    y = jax.lax.conv_general_dilated(
+        x, wts, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + bias
+    want = np.asarray(jnp.maximum(y, 0) + 0.2 * jnp.minimum(y, 0))
+
+    xf = to_flat(x, 32, phase=2)
+    blocks = fold_conv4x4_s2_weights(wts, 32, 32)
+    scale, b128 = plain_scale_bias(bias, c, 32)
+    yf = fused_conv4x4_s2_flat(xf, blocks, scale, b128, relu=0.2)
+    got = np.asarray(from_flat(yf, h // 2, w // 2, c, 32, phase=0))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
