@@ -105,15 +105,17 @@ def _train_row(name, config_path, fast_kernels):
         lambda s, a, b2, f, v: xla_step(s, a, b2, f, v)[0],
         state, img1, img2, flow, valid)
 
+    # NOTE: no donate_argnums here -- timed_chain re-feeds the same initial
+    # state across repeats, which donation would invalidate
     if fast_kernels == "on":
         from realtime_stereo_matcher_tpu.models.fast_train import (
             make_fast_train_step,
         )
         step = jax.jit(make_fast_train_step(
-            model, tx, exp.train.loss.parameters), donate_argnums=0)
+            model, tx, exp.train.loss.parameters))
         note = "kernel step"
     else:
-        step = jax.jit(xla_step, donate_argnums=0)
+        step = jax.jit(xla_step)
         note = "XLA step"
 
     def one(carry):
