@@ -23,17 +23,16 @@ coarse -> fine) for batch-1 NHWC inputs at kernel-compatible padded shapes
 (models/fast_infer.py _alignment_pad); parity is pinned by
 tests/test_kernel_unet.py.
 
-MEASURED OUTCOME (720p, v5e, 2026-08-21) and why this is NOT wired into
-models/fast_infer.py yet: one view costs 17.8 ms here vs 15.8 ms/view in the
-batch-2 XLA pass.  The kernel convs themselves win 4x (full-res fold + 2
-fused convs + unfold: 1.7 ms vs ~7 ms XLA), but the XLA glue between levels
-dominates: the stem (1.5 ms), each k4s2 downsampler (1.9 ms at 1/2), the
-up-projection pixel interleave (3.5 ms at full res -- pure relayout; dot,
-einsum and stack-reshape formulations all measure 3.5-4.4 ms) and the 1x1
-skip-mix (1.35 ms as a reshape-dot, 4 ms as an XLA conv).  The profitable
-next step is keeping the entire U-Net in the flat lane-folded layout
-(fold once, express k4s2 / 2x-up / concat-mix as lane-block matmuls, unfold
-once); until then the XLA batch-2 extractor stays the production path.
+HISTORY: this first, level-by-level kernelization measured NET-SLOWER at
+720p (17.8 ms/view vs 15.8 in the batch-2 XLA pass) -- the fused convs win
+4x but the NHWC glue between levels (stem 1.5 ms, k4s2 1.9 ms at 1/2,
+up-projection interleave 3.5 ms, 1x1 skip-mix 1.4-4 ms -- all layout-bound
+relayouts at C<=64) dominated.  Round 4 executed the fix written here:
+``fast_unet_flat`` / ``fast_unet_flat_pair`` below keep the ENTIRE U-Net in
+the flat lane-folded layout (glue as full-lane block matmuls, k4s2 as a
+stride-2 Pallas kernel, one batch-2 stem), measuring ~5.5 ms/view -- the
+production v3 extractor in models/fast_infer.py.  ``fast_unet`` is kept as
+the stepping-stone reference implementation its parity test covers.
 """
 
 from __future__ import annotations
