@@ -1,4 +1,4 @@
-"""Kernel-accelerated inference path for MobileStereoNet v1/v2.
+"""Kernel-accelerated inference path for MobileStereoNet v1/v2/v3.
 
 ``make_fast_forward(model, variables)`` returns a jit-ready
 ``forward(left, right) -> [negative disparity maps]`` that reproduces
