@@ -676,6 +676,27 @@ def fold_conv4x4_s2_weights(w: jnp.ndarray,
     return jnp.asarray(wn)
 
 
+def _s2_pick_tile(xf, th):
+    """Largest tile height <= th that divides H/2 and fits the s2 kernel's
+    scratch in the 12 MiB VMEM budget (shared by the 3x3 and 4x4 stride-2
+    entry points; scratch shapes mirror _conv_s2_call's)."""
+    rows, wt, _ = xf.shape
+    h2 = (rows - 2 * PADR) // 2
+    wtp = wt // 2
+    kc = (wt - 2 * PADC_TILES - SPARE_TILES) // 2
+    assert kc % 8 == 0, kc
+    itemsize = jnp.dtype(xf.dtype).itemsize
+    budget = 12 * 1024 * 1024
+
+    def vmem(t):
+        return ((2 * (t + 1) * 2 * wtp * 2 + 2 * max(t, PADR) *
+                 (kc + SPARE_TILES + 2 * PADC_TILES)) * LANES * itemsize
+                + t * kc * LANES * 4)
+
+    return next(t for t in range(min(th, h2), 0, -1)
+                if h2 % t == 0 and vmem(t) <= budget)
+
+
 def fused_conv4x4_s2_flat(xf, w_blocks, scale, bias, *, relu=True, th=16):
     """Stride-2 4x4 TF-SAME fused conv on a **phase-2** flat activation:
     (PADR+H+PADR, WT, 128) -> (PADR+H/2+PADR, WT_out, 128), phase 0.
@@ -687,21 +708,7 @@ def fused_conv4x4_s2_flat(xf, w_blocks, scale, bias, *, relu=True, th=16):
     sublane dim as relayout copies; this kernel reads the same data as
     contiguous row/tile pairs.
     """
-    rows, wt, _ = xf.shape
-    h2 = (rows - 2 * PADR) // 2
-    kc = (wt - 2 * PADC_TILES - SPARE_TILES) // 2
-    assert kc % 8 == 0, kc
-    wtp = wt // 2
-    itemsize = jnp.dtype(xf.dtype).itemsize
-    budget = 12 * 1024 * 1024
-
-    def vmem(t):
-        return ((2 * (t + 1) * 2 * wtp * 2 + 2 * max(t, PADR) *
-                 (kc + SPARE_TILES + 2 * PADC_TILES)) * LANES * itemsize
-                + t * kc * LANES * 4)
-
-    t = next(t for t in range(min(th, h2), 0, -1)
-             if h2 % t == 0 and vmem(t) <= budget)
+    t = _s2_pick_tile(xf, th)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)
     return _conv_s2_call(xf, w_blocks, sb, relu=relu, th=t,
                          taps=S2_TAPS_4x4, pair0=2)
@@ -714,21 +721,7 @@ def fused_conv3x3_s2_flat(xf, w_blocks, scale, bias, *, relu=True, th=16):
     ``w_blocks`` from :func:`fold_conv3x3_s2_weights`.  W halves (out image
     tiles = in image tiles / 2, which must be 8-aligned => W % 64 == 0).
     """
-    rows, wt, _ = xf.shape
-    h2 = (rows - 2 * PADR) // 2
-    wtp = wt // 2
-    kc = (wt - 2 * PADC_TILES - SPARE_TILES) // 2
-    assert kc % 8 == 0, kc
-    itemsize = jnp.dtype(xf.dtype).itemsize
-    budget = 12 * 1024 * 1024
-
-    def vmem(t):
-        return ((2 * (t + 1) * 2 * wtp * 2 + 2 * max(t, PADR) *
-                 (kc + SPARE_TILES + 2 * PADC_TILES)) * LANES * itemsize
-                + t * kc * LANES * 4)
-
-    t = next(t for t in range(min(th, h2), 0, -1)
-             if h2 % t == 0 and vmem(t) <= budget)
+    t = _s2_pick_tile(xf, th)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)
     return _conv_s2_call(xf, w_blocks, sb, relu=relu, th=t)
 

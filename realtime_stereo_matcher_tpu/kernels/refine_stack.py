@@ -107,7 +107,8 @@ def _fold_bn_eval(bn_p, bn_s):
 
 def build_refine_plan(params, batch_stats,
                       dilations: Sequence[int] = (1, 2, 4, 8, 1, 1),
-                      c_pad: int = 32, entry_channels: int = 32) -> RefinePlan:
+                      c_pad: int = 32, entry_channels: int = 32,
+                      entry_split: bool = False) -> RefinePlan:
     """Fold one RefineNet's Flax params into a kernel execution plan.
 
     ``params`` / ``batch_stats`` are the ``RefineNet_i`` sub-trees of the
@@ -116,8 +117,14 @@ def build_refine_plan(params, batch_stats,
     head.  ``res_from`` indexes the activation *history*: history[j] is the
     output of specs[j-1] (history[0] is the stack input).
 
-    If ``entry_channels`` exceeds the lane fold (v3: 65), the entry conv is
-    kept as an XLA conv with eval-folded BN instead of a kernel spec.
+    ``entry_split``: the caller asserts the entry conv's input layout is
+    exactly disp(1) ‖ l_fmap(c_pad) ‖ r_fmap(c_pad) — v3's refine entry —
+    and the conv is split into two fused c_pad-channel kernel convs plus a
+    9-shift disparity tap (fast_refine's entry_l branch).  This is an
+    explicit opt-in, NOT inferred from channel count, because a future
+    1+2*c_pad-channel entry with a different concat layout would be
+    silently mis-split.  Otherwise, if ``entry_channels`` exceeds the lane
+    fold, the entry conv is kept as an XLA conv with eval-folded BN.
     """
     specs: list[ConvSpec] = []
     entry_w = entry_scale = entry_bias = None
@@ -129,7 +136,8 @@ def build_refine_plan(params, batch_stats,
         specs.append(spec)
         hist_phase.append(phase_out)
 
-    if entry_channels == 1 + 2 * c_pad:
+    if entry_split:
+        assert entry_channels == 1 + 2 * c_pad, (entry_channels, c_pad)
         # v3 kernel-entry split (see RefinePlan docstring): BN scale folds
         # into the per-part weights, BN bias rides the second kernel conv
         w = np.asarray(params["ConvBN_0"]["Conv_0"]["kernel"], np.float32)
@@ -231,10 +239,8 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
     h2, w2 = disp.shape[1] * 2, disp.shape[2] * 2
     disp = resize_bilinear(disp.astype(jnp.float32), (h2, w2)) * 2.0
 
-    feats = [disp]
     if l_guide.shape[1:3] != (h2, w2):
         l_guide = resize_bilinear(l_guide, (h2, w2))
-    feats.append(l_guide)
     if r_guide is not None:
         if r_guide.shape[1:3] != (h2, w2):
             r_guide = resize_bilinear(r_guide, (h2, w2))
@@ -253,7 +259,6 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
                 # C-dependent work on the MXU (ops/sampling.py)
                 r_guide = warp_by_flow_map_matmul(
                     r_guide.astype(dtype), disp)
-        feats.append(r_guide)
 
     if plan.entry_l is not None:
         # kernel entry split (v3 65ch): two fused 32-ch convs summed via the
@@ -271,6 +276,8 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
         d = _disp_tap(disp, plan.entry_d, dtype)
         xf = jnp.maximum(p2 + k3.to_flat(d, 32, phase=2), 0).astype(dtype)
     else:
+        feats = [disp, l_guide] if r_guide is None else [disp, l_guide,
+                                                         r_guide]
         x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
         if plan.entry_w is not None:
             # wide entry conv stays in XLA with eval-folded BN + ReLU

@@ -360,9 +360,11 @@ def _unet_flat_from_stem(s_flat, plan: FlatUNetPlan, h, w):
     # down path: k4s2 (phase-2 Pallas kernel) + one split-window kernel
     # conv per level
     d1 = k3.fused_conv4x4_s2_flat(s_flat, *plan.k4_blocks[0], relu=LEAK)
-    d1, _ = _run_kconvs_flat(d1, base.down[0][2])          # phase 2
+    d1, ph = _run_kconvs_flat(d1, base.down[0][2])
+    assert ph == 2, ph                  # k4s2 consumes a phase-2 canvas
     d2 = k3.fused_conv4x4_s2_flat(d1, *plan.k4_blocks[1], relu=LEAK)
-    d2, _ = _run_kconvs_flat(d2, base.down[1][2])          # phase 2
+    d2, ph = _run_kconvs_flat(d2, base.down[1][2])
+    assert ph == 2, ph
     b8 = k3.fused_conv4x4_s2_flat(d2, *plan.k4_blocks[2], relu=LEAK)
 
     # 1/8 bottleneck: split/split/9-block kernel convs, ends phase 0
@@ -378,8 +380,12 @@ def _unet_flat_from_stem(s_flat, plan: FlatUNetPlan, h, w):
         up_core = _up2x_flat(uf, ub, ubias, hi, ti)
         core = _mix_flat(up_core, skips[lvl], mu, sblocks, mbias,
                          2 * hi, 2 * ti)
-        uf, _ = _run_kconvs_flat(_canvas(core), base.up[lvl][4])
-        flat_levels.append((uf, 0))
+        uf, ph = _run_kconvs_flat(_canvas(core), base.up[lvl][4])
+        # each up level nets phase 0 with the current v3 config (two split
+        # convs); an odd split count would unfold at the wrong phase and
+        # _up2x_flat would mis-read the canvas — fail fast instead
+        assert ph == 0, (lvl, ph)
+        flat_levels.append((uf, ph))
     return y8, flat_levels
 
 

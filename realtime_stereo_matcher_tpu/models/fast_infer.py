@@ -88,12 +88,15 @@ def make_fast_forward(model, variables, *, dtype=jnp.bfloat16):
     align = 2 ** down
     vol_disp = (model.max_disp + 1) // align
 
-    # v3's refine input is 1 + 2*hidden = 65 channels -> XLA entry conv
+    # v3's refine input layout is disp(1) ‖ l_fmap(32) ‖ r_fmap(32) = 65ch
+    # (models/stereo_net.py RefineNet wide-guidance concat) -> opt in to the
+    # kernel entry-conv split; v1/v2 use the 32-ch lane fold directly
     entry_ch = 1 + 2 * model.hidden_dim if variant == "v3" else 32
     plans = [
         build_refine_plan(params[f"RefineNet_{i}"],
                           batch_stats[f"RefineNet_{i}"],
-                          model.refine_dilates, entry_channels=entry_ch)
+                          model.refine_dilates, entry_channels=entry_ch,
+                          entry_split=(variant == "v3"))
         for i in range(down)
     ]
 

@@ -42,6 +42,7 @@ from realtime_stereo_matcher_tpu.train.loss import (
     flow_map_metrics,
 )
 from realtime_stereo_matcher_tpu.train.optim import make_optimizer
+from realtime_stereo_matcher_tpu.utils.fetch import FetchTimeout, timed_fetch
 from realtime_stereo_matcher_tpu.utils.logger import MetricLogger
 
 
@@ -135,10 +136,31 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path, state: TrainState):
+# Per-attempt deadline for the device->host pulls in checkpoint saves and
+# metric flushes.  Generous vs the measured fetch times (full v1-v4 train
+# states pull in < 10 s through the relay) so it only fires on a genuine
+# wedge, not a slow fetch.
+FETCH_TIMEOUT_S = 120.0
+
+
+def save_checkpoint(path, state: TrainState, *,
+                    fetch_timeout: float | None = None):
+    """Save the full train state; the device->host pull is deadline-guarded.
+
+    Raises :class:`~realtime_stereo_matcher_tpu.utils.fetch.FetchTimeout`
+    if the relay client wedges (round-4 incident); callers at periodic
+    save points should skip the save and keep training.
+    """
     ckptr = _checkpointer()
-    ckptr.save(os.path.abspath(path),
-               jax.tree_util.tree_map(np.asarray, state), force=True)
+    if fetch_timeout is None:
+        fetch_timeout = FETCH_TIMEOUT_S  # resolved at call time (testable)
+    # one guarded fetch of the whole tree (jax.device_get batches leaves)
+    # instead of a blocking np.asarray per leaf
+    host_state = timed_fetch(
+        lambda: jax.device_get(state), timeout=fetch_timeout,
+        what=f"checkpoint fetch for {path}", retries=1)
+    host_state = jax.tree_util.tree_map(np.asarray, host_state)
+    ckptr.save(os.path.abspath(path), host_state, force=True)
 
 
 def restore_checkpoint(path, state: TrainState) -> TrainState:
@@ -316,7 +338,20 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
         if not pending:
             return
         steps_, vecs = zip(*pending)
-        vals = np.asarray(jax.device_get(jnp.stack(vecs)))
+        stacked = jnp.stack(vecs)
+        try:
+            vals = np.asarray(timed_fetch(
+                lambda: jax.device_get(stacked), timeout=FETCH_TIMEOUT_S,
+                what=f"metrics fetch @step {steps_[-1]}", retries=1))
+        except FetchTimeout:
+            # drop this metrics batch rather than wedge the run (the scalars
+            # are observability, not train state); training continues and
+            # the next flush retries with a fresh fetch
+            logging.error(
+                "Dropping %d pending metric rows (steps %d..%d): relay "
+                "fetch wedged.", len(pending), steps_[0], steps_[-1])
+            pending.clear()
+            return
         for s, row in zip(steps_, vals):
             scalars = dict(zip(metric_keys, (float(x) for x in row)))
             logger.write_scalars(s, {
@@ -370,7 +405,16 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                 ckpt = ckpt_dir / f"{exp_name}-epoch-{total_steps}.ckpt"
                 ckpt.parent.mkdir(parents=True, exist_ok=True)
                 logging.info("Saving file %s...", ckpt)
-                save_checkpoint(ckpt, state)
+                try:
+                    save_checkpoint(ckpt, state)
+                except FetchTimeout:
+                    # round-4 incident class: a wedged relay fetch must cost
+                    # one checkpoint, not the run — later saves retry with
+                    # fresh fetches, and the final save below still raises
+                    # if the wedge persists to the end
+                    logging.error(
+                        "SKIPPING checkpoint %s: device->host fetch wedged; "
+                        "training continues.", ckpt)
     flush_metrics()
     logging.info("FINISHED TRAINING! (%.1fs)", time.time() - t_start)
     logger.close()
