@@ -247,29 +247,51 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
     # host->device batch streaming serializes against compute (~450 ms per
     # 11.5 MB batch while the chip is busy), so when the training set fits
     # in HBM it is uploaded once and each step ships a (B,) index vector
-    # instead (data/device_cache.py).  Single-process only: each process
-    # would otherwise need a disjoint global-array shard of the dataset.
+    # instead (data/device_cache.py).  Round 5: any uniform-shape dataset
+    # packs (pack_dataset), and multi-process runs shard the scenes over the
+    # mesh's data axis (one copy total, communication-free shard_map fetch).
     resident = None
-    if device_augment and jax.process_count() == 1:
+    if device_augment:
         from realtime_stereo_matcher_tpu.data.datasets import ConcatDataset
         from realtime_stereo_matcher_tpu.data.device_cache import (
             DeviceResidentScenes,
+            ShardedResidentScenes,
+            pack_dataset,
             pack_synthetic,
         )
         from realtime_stereo_matcher_tpu.data.synthetic import SyntheticStereo
 
         ds = getattr(data_loader, "dataset", None)
         leaves = ds.datasets if isinstance(ds, ConcatDataset) else [ds]
-        if len(leaves) == 1 and isinstance(leaves[0], SyntheticStereo):
-            packed = pack_synthetic(leaves[0])
-            nbytes = sum(a.nbytes for a in packed.values())
-            if nbytes <= 8e9:
-                resident = DeviceResidentScenes(
-                    packed, sharding=replicated(mesh))
-                logging.info(
-                    "Device-resident dataset: %d scenes, %.2f GB in HBM; "
-                    "steps ship (B,) int32 indices only.",
-                    resident.length, nbytes / 1e9)
+        try:
+            if (jax.process_count() == 1 and len(leaves) == 1
+                    and isinstance(leaves[0], SyntheticStereo)):
+                packed = pack_synthetic(leaves[0])  # disk-cached generator
+                if sum(a.nbytes for a in packed.values()) > 8e9:
+                    raise ValueError("synthetic pack exceeds 8 GB")
+                resident = DeviceResidentScenes(packed,
+                                                sharding=replicated(mesh))
+            elif ds is not None and jax.process_count() == 1:
+                packed = pack_dataset(ds)
+                resident = DeviceResidentScenes(packed,
+                                                sharding=replicated(mesh))
+            elif ds is not None:
+                n_dev = mesh.shape["data"] * mesh.shape["spatial"]
+                total = (len(ds) // n_dev) * n_dev
+                lo, hi = ShardedResidentScenes.local_scene_range(total, mesh)
+                packed = pack_dataset(ds, indices=range(lo, hi))
+                resident = ShardedResidentScenes(packed, mesh,
+                                                 global_length=total)
+        except ValueError as exc:
+            logging.info("Device-resident dataset disabled (%s); falling "
+                         "back to host streaming.", exc)
+        if resident is not None:
+            logging.info(
+                "Device-resident dataset: %d scenes, %.2f GB in HBM%s; "
+                "steps ship int32 indices only.", resident.length,
+                resident.nbytes() / 1e9,
+                " (scene-sharded over the data axis)"
+                if isinstance(resident, ShardedResidentScenes) else "")
 
     if device_augment:
         # augmentation runs inside the jitted step; the spec needs the raw
@@ -311,8 +333,11 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                 fetch_scene_batch,
             )
 
-            step_fn = build_augmented_step(resident.image_hw,
-                                           fetch_scene_batch)
+            if isinstance(resident, ShardedResidentScenes):
+                fetch = resident.make_fetch()  # shard_map'd local take
+            else:
+                fetch = partial(fetch_scene_batch, fp=resident.fp)
+            step_fn = build_augmented_step(resident.image_hw, fetch)
     else:
         step_fn = jax.jit(base_step, donate_argnums=(0,))
 
