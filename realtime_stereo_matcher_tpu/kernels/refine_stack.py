@@ -30,7 +30,7 @@ from realtime_stereo_matcher_tpu.ops import (
     resize_bilinear,
     warp_by_flow_map,
     warp_by_flow_map_banded,
-    warp_by_flow_map_matmul,
+    warp_by_flow_map_matmul_banded,
 )
 
 LANES = k3.LANES
@@ -255,10 +255,12 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
                 r_guide = warp_by_flow_map_banded(
                     r_guide.astype(dtype), disp, max_shift)
             else:
-                # wide guidance (v3's 32ch pyramid): selection-matrix warp,
-                # C-dependent work on the MXU (ops/sampling.py)
-                r_guide = warp_by_flow_map_matmul(
-                    r_guide.astype(dtype), disp)
+                # wide guidance (v3's 32ch pyramid): banded selection-matrix
+                # warp -- MXU contraction over a static max_shift-wide tap
+                # band instead of the full W (ops/sampling.py; same
+                # out-of-band-is-zero contract as the banded warp above)
+                r_guide = warp_by_flow_map_matmul_banded(
+                    r_guide.astype(dtype), disp, max_shift)
 
     if plan.entry_l is not None:
         # kernel entry split (v3 65ch): two fused 32-ch convs summed via the

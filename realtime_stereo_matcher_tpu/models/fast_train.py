@@ -68,7 +68,7 @@ from realtime_stereo_matcher_tpu.ops import (
     soft_argmin,
     warp_by_flow_map,
     warp_by_flow_map_banded,
-    warp_by_flow_map_matmul,
+    warp_by_flow_map_matmul_banded,
 )
 
 
@@ -320,11 +320,12 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
                 r_guide = warp_by_flow_map_banded(
                     r_guide.astype(dtype), disp, max_shift)
             else:
-                # wide guidance (v3's 32-channel pyramid features): per-row
-                # selection-matrix warp -- the C-dependent work runs as MXU
-                # matmuls in both directions (ops/sampling.py)
-                r_guide = warp_by_flow_map_matmul(
-                    r_guide.astype(dtype), disp)
+                # wide guidance (v3's 32-channel pyramid features): banded
+                # per-row selection-matrix warp -- MXU matmuls in both
+                # directions over a static max_shift tap band
+                # (ops/sampling.py)
+                r_guide = warp_by_flow_map_matmul_banded(
+                    r_guide.astype(dtype), disp, max_shift)
         feats.append(r_guide)
     x = jnp.concatenate([f.astype(dtype) for f in feats], axis=-1)
     bn_updates = {}

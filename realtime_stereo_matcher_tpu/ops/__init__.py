@@ -19,6 +19,7 @@ from realtime_stereo_matcher_tpu.ops.sampling import (
     warp_by_flow_map,
     warp_by_flow_map_banded,
     warp_by_flow_map_matmul,
+    warp_by_flow_map_matmul_banded,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "warp_by_flow_map",
     "warp_by_flow_map_banded",
     "warp_by_flow_map_matmul",
+    "warp_by_flow_map_matmul_banded",
 ]

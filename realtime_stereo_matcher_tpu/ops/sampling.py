@@ -282,6 +282,88 @@ def warp_by_flow_map_matmul(image: jnp.ndarray, flow: jnp.ndarray, *,
     return jnp.concatenate(parts, axis=1)
 
 
+def _selection_warp_rows_banded(blend: jnp.ndarray, flow_x: jnp.ndarray,
+                                w: int, max_shift: int) -> jnp.ndarray:
+    """Banded x-tiled selection contraction on a (B, Hb, W, C) row block.
+
+    The dense selection matrix (:func:`_selection_warp_rows`) spends
+    O(W^2) compares + matmul FLOPs per row although each output pixel's two
+    taps lie within a STATIC band: with flow in [0, max_shift],
+    ``x0(x) in [x - max_shift - 1, x]``.  Tiling outputs into 128-pixel
+    blocks and giving each block only its ``band``-wide input window (a
+    static slice) cuts compares and MXU work by ``W / band`` (3.7x at 720p
+    with max_shift 208) while staying pure XLA -- the partitioner still
+    fuses the P build into the batched matmul, and gradients remain
+    matmuls.  Out-of-band flows contribute zero (the banded-warp contract,
+    :func:`warp_by_flow_map_banded`); in-band results are bit-identical to
+    the dense path (same compares, same dot order per tile).
+    """
+    dt = blend.dtype
+    b, hb, _, c = blend.shape
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x_pix = (gx - flow_x.astype(jnp.float32)) * (w / (w - 1.0)) - 0.5
+    x0f = jnp.floor(x_pix)
+    tx_all = (x_pix - x0f).astype(dt)
+    x0_all = x0f.astype(jnp.int32)
+
+    tile = 128
+    # tap span of a tile is [xt - ms - 1, xt + m]: m + ms + 2 wide; +7 slack
+    # so the 8-aligned window start below still covers both ends
+    band = -(-(max_shift + tile + 9) // 8) * 8
+    band = min(band, w)
+    parts = []
+    for xt in range(0, w, tile):
+        m = min(tile, w - xt)
+        # static window [ws, ws+band) covering every valid tap of this tile
+        ws = min(max((xt + m + 8 - band) // 8 * 8, 0), w - band)
+        x0 = x0_all[..., xt:xt + m, None]                  # (B, Hb, m, 1)
+        tx = tx_all[..., xt:xt + m, None]
+        j = ws + jnp.arange(band, dtype=jnp.int32)[None, None, None, :]
+        # exact banded-warp semantics independent of the window size: tap
+        # offsets outside [-1, max_shift + 1] contribute zero (matches
+        # warp_by_flow_map_banded's k band) even when the whole row fits in
+        # one window
+        off = (xt + jnp.arange(m, dtype=jnp.int32))[None, None, :, None] - x0
+        q = ((off >= -1) & (off <= max_shift + 1)).astype(dt)
+        p = q * (jnp.where(j == x0, 1.0 - tx, jnp.zeros((), dt))
+                 + jnp.where(j == x0 + 1, tx, jnp.zeros((), dt)))
+        win = jax.lax.slice_in_dim(blend, ws, ws + band, axis=2)
+        parts.append(jax.lax.dot_general(
+            p, win, (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32).astype(dt))
+    return jnp.concatenate(parts, axis=2)
+
+
+def warp_by_flow_map_matmul_banded(image: jnp.ndarray, flow: jnp.ndarray,
+                                   max_shift: int, *,
+                                   row_block: int | None = None
+                                   ) -> jnp.ndarray:
+    """Banded selection-matrix warp: :func:`warp_by_flow_map_matmul` with a
+    static tap band (flow in ``[0, max_shift]``; out-of-band pixels get
+    zero, matching :func:`warp_by_flow_map_banded`'s contract).  ~band/W of
+    the dense warp's compare + MXU work; the production choice for wide
+    (C > 8) guidance wherever the model bounds the disparity
+    (models/fast_infer.py, kernels/refine_stack.py).
+    """
+    b, h, w, c = image.shape
+    assert flow.shape[-1] == 1, flow.shape
+    blend = _vertical_identity_blend(image)
+    flow_x = flow[..., 0]
+
+    if row_block is None:
+        band = min(-(-(max_shift + 130) // 8) * 8, w)
+        per_row = b * w * band * jnp.dtype(image.dtype).itemsize
+        row_block = max(1, min(h, _SELECTION_BLOCK_BYTES // max(per_row, 1)))
+    if row_block >= h:
+        return _selection_warp_rows_banded(blend, flow_x, w, max_shift)
+
+    block = jax.checkpoint(
+        lambda bl, fl: _selection_warp_rows_banded(bl, fl, w, max_shift))
+    parts = [block(blend[:, s:s + row_block], flow_x[:, s:s + row_block])
+             for s in range(0, h, row_block)]
+    return jnp.concatenate(parts, axis=1)
+
+
 def warp_by_flow_map_banded(image: jnp.ndarray, flow: jnp.ndarray,
                             max_shift: int) -> jnp.ndarray:
     """Horizontal-flow warp as a banded sum of STATIC shifts -- gather-free.

@@ -215,3 +215,87 @@ def test_matmul_warp_row_block_tiling(rng):
     for a, b in zip(g_new, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_banded_matmul_warp_matches_gather_warp(rng):
+    """In-band flows: banded x-tiled selection warp == gather warp, values
+    and grads; exercises multiple x-tiles and the edge-window clamps."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import (
+        warp_by_flow_map,
+        warp_by_flow_map_matmul_banded,
+    )
+
+    # W = 300 -> 3 x-tiles (two full 128s + a 44 remainder)
+    img = jnp.asarray(rng.standard_normal((2, 6, 300, 5)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(0, 40, (2, 6, 300, 1)).astype(np.float32))
+
+    want = warp_by_flow_map(img, flow)
+    got = warp_by_flow_map_matmul_banded(img, flow, max_shift=40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        def f(im, fl):
+            out = fn(im, fl) if fn is warp_by_flow_map else fn(im, fl, 40)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(warp_by_flow_map), argnums=(0, 1))(img, flow)
+    g_new = jax.grad(loss(warp_by_flow_map_matmul_banded),
+                     argnums=(0, 1))(img, flow)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_banded_matmul_warp_out_of_band_is_zero(rng):
+    """Out-of-band flows contribute zero (warp_by_flow_map_banded's
+    contract), in-band pixels stay exact."""
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import (
+        warp_by_flow_map,
+        warp_by_flow_map_matmul_banded,
+    )
+
+    img = jnp.asarray(rng.standard_normal((1, 4, 160, 3)).astype(np.float32))
+    flow = np.full((1, 4, 160, 1), 5.0, np.float32)
+    flow[0, :, 100:120, 0] = 90.0         # beyond max_shift=16
+    flow = jnp.asarray(flow)
+
+    got = np.asarray(warp_by_flow_map_matmul_banded(img, flow, max_shift=16))
+    want = np.asarray(warp_by_flow_map(img, flow))
+    np.testing.assert_allclose(got[0, :, :100], want[0, :, :100],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[0, :, 120:], want[0, :, 120:],
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(got[0, :, 100:120] == 0.0)
+
+
+def test_banded_matmul_warp_row_block_and_bf16(rng):
+    """Row-block tiling is exact; bf16 matches the bf16 gather path."""
+    import jax.numpy as jnp
+
+    from realtime_stereo_matcher_tpu.ops import (
+        warp_by_flow_map,
+        warp_by_flow_map_matmul_banded,
+    )
+
+    img = jnp.asarray(rng.standard_normal((2, 12, 160, 32)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(0, 30, (2, 12, 160, 1)).astype(np.float32))
+
+    want = warp_by_flow_map_matmul_banded(img, flow, 30, row_block=12)
+    for rb in (1, 4, 6):
+        got = warp_by_flow_map_matmul_banded(img, flow, 30, row_block=rb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    want16 = np.asarray(warp_by_flow_map(img.astype(jnp.bfloat16), flow),
+                        np.float32)
+    got16 = np.asarray(
+        warp_by_flow_map_matmul_banded(img.astype(jnp.bfloat16), flow, 30),
+        np.float32)
+    np.testing.assert_allclose(got16, want16, rtol=0.03, atol=0.03)
