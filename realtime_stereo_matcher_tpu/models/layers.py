@@ -76,7 +76,6 @@ class GroupedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
         dt = self.dtype or x.dtype
         g = self.groups
-        assert x.shape[0] % g == 0, (x.shape, g)
 
         if use_running_average:
             mu = jnp.asarray(ra_mean.value, jnp.float32)
@@ -87,6 +86,10 @@ class GroupedBatchNorm(nn.Module):
                 scale, jnp.float32) * inv).astype(dt)
             return x.astype(dt) * s + b
 
+        # the group split only exists in train mode; eval above is a plain
+        # running-stats affine, valid for any batch (e.g. per-view batch-1
+        # inference passes through a bn_groups=2 module)
+        assert x.shape[0] % g == 0, (x.shape, g)
         xg = x.reshape(g, -1, *x.shape[1:])          # (G, b, ..., C)
         red = tuple(range(1, xg.ndim - 1))
         xf = xg.astype(jnp.float32)

@@ -389,18 +389,26 @@ class MobileStereoNetV4(nn.Module):
         left, orig_hw = pad_to_multiple(left, 16)
         right, _ = pad_to_multiple(right, 16)
 
-        # ONE pair-batched pass over [left; right]: GroupedBatchNorm keeps
-        # the reference's per-view train statistics and sequential running
+        # TRAIN: one pair-batched pass over [left; right] -- GroupedBatchNorm
+        # keeps the reference's per-view statistics and sequential running
         # updates (mobile_stereo_net_v4.py:434-441 calls the extractor on
-        # left then right) while the convs run batched -- half the XLA op
-        # count of two passes on an op-overhead-bound encoder (the extractor
-        # was 67 of the 151 ms fwd+bwd at batch 6, 240x320; batching
-        # measured it at 40 ms)
+        # left then right) while the convs run batched: half the XLA op
+        # count of two passes on an op-overhead-bound encoder (67 -> 40 ms
+        # of the fwd+bwd step at batch 6, 240x320).
+        # EVAL: two per-view passes -- eval BN is a running-stats affine, so
+        # the math is identical either way, but batch-2 convs at KITTI
+        # shapes measure ~7 ms SLOWER than 2x batch-1 on v5e (round-2 note,
+        # re-confirmed by the round-5 bisect of the 77 -> 47 FPS regression:
+        # r1 two-pass 12.8 ms vs r3 pair-batched 21.2 ms).
         extractor = FeatureExtraction(bn_groups=2, dtype=self.dtype)
         preconv = PreConv11(bn_groups=2, dtype=self.dtype)
-        pair = jnp.concatenate([left, right], axis=0)
-        feat = preconv(extractor(pair, train), train)
-        featL, featR = feat[: left.shape[0]], feat[left.shape[0]:]
+        if train:
+            pair = jnp.concatenate([left, right], axis=0)
+            feat = preconv(extractor(pair, train), train)
+            featL, featR = feat[: left.shape[0]], feat[left.shape[0]:]
+        else:
+            featL = preconv(extractor(left, False), False)
+            featR = preconv(extractor(right, False), False)
 
         volume = InterweaveVolume(
             n_shifts=self.volume_size,
