@@ -248,17 +248,21 @@ def fast_refine(disp, l_guide, r_guide, plan: RefinePlan, *,
             # the flow stays f32: both warps upcast it internally, and a
             # bf16 cast here would quantize the sample position to whole
             # pixels near max_disp (bf16 ulp is 1.0 in [128, 256))
-            if r_guide.shape[-1] <= 8:
-                # banded static-shift warp: XLA's gather lowering is ~50x
-                # slower and the unrolled band scales with shifts x C, so it
-                # only pays for narrow guidance (v2's RGB)
+            if r_guide.shape[-1] <= 8 and max_shift <= 64:
+                # banded static-shift warp: pure shifted selects, but the
+                # unrolled band scales with shifts x C -- it only wins for
+                # narrow guidance at SMALL shift bounds (v2's RGB at the
+                # coarse levels).  At 720p/max_shift 208 it cost ~10 ms of
+                # v2's 21 ms path (benchmarks/v2_profile.py round 5)
                 r_guide = warp_by_flow_map_banded(
                     r_guide.astype(dtype), disp, max_shift)
             else:
-                # wide guidance (v3's 32ch pyramid): banded selection-matrix
-                # warp -- MXU contraction over a static max_shift-wide tap
-                # band instead of the full W (ops/sampling.py; same
-                # out-of-band-is-zero contract as the banded warp above)
+                # banded selection-matrix warp -- MXU contraction over a
+                # static max_shift-wide tap band instead of the full W
+                # (ops/sampling.py; same out-of-band-is-zero contract as the
+                # banded warp above).  Cost is channel-independent (the C
+                # axis rides the matmul), so it serves v3's 32ch pyramid AND
+                # v2's RGB at large shift bounds equally
                 r_guide = warp_by_flow_map_matmul_banded(
                     r_guide.astype(dtype), disp, max_shift)
 

@@ -311,6 +311,7 @@ class FlatUNetPlan:
     bott: tuple           # 1/8 bottleneck KConvs (split, split, 9-block)
     up_blocks: tuple      # ALL up levels: (U, ubias128, Mu,
     #                       skip_blocks, mixbias128)
+    stem: KConv = None    # 3->32 stem as a flat split-window conv
 
 
 def build_unet_flat_plan(params, down_factor: int = 3) -> FlatUNetPlan:
@@ -334,7 +335,20 @@ def build_unet_flat_plan(params, down_factor: int = 3) -> FlatUNetPlan:
         mu, sblocks = _fold_mix_blocks(mixw, skip_phase)
         ups.append((_fold_up2x_blocks(ctw), _bias128(ctb), mu, sblocks,
                     _bias128(mixb)))
-    return FlatUNetPlan(base, tuple(k4), bott, tuple(ups))
+    # the 3->32 stem as a flat-layout split-window conv (phase 0 -> 2):
+    # composing the NHWC stem conv with the canvas fold in one program makes
+    # XLA materialize the fold through a conv-chosen layout -- measured
+    # +7 ms at 720p (benchmarks/stem_bisect.py).  Folding the *image*
+    # (channels zero-padded 3->32) and running the stem on the fused kernel
+    # keeps every op in the flat layout.
+    stem_w = np.asarray(params["Conv_0"]["kernel"], np.float32)
+    stem_blocks = k3.fold_conv3x3_split_weights(
+        stem_w, dilation=1, phase_in=0, c_in_pad=32, c_out_pad=32)
+    stem_sb = k3.plain_scale_bias(
+        jnp.asarray(params["Conv_0"]["bias"], jnp.float32),
+        stem_w.shape[-1], 32)
+    stem = KConv(stem_blocks, *stem_sb, 0)
+    return FlatUNetPlan(base, tuple(k4), bott, tuple(ups), stem)
 
 
 def _run_kconvs_flat(xf, kconvs):
@@ -398,30 +412,35 @@ def _unfold_pyramid(y8, flat_levels, h, w):
     return pyramid
 
 
+def _stem_flat(x, plan: FlatUNetPlan):
+    """Image (1, H, W, 3) -> phase-2 stem canvas, fully in the flat layout.
+
+    ``to_flat`` zero-pads channels 3 -> 32; the stem conv runs as a
+    phase-0 split-window kernel whose output phase is 2 -- exactly the
+    canvas the k4s2 downsampler and the full-res skip expect."""
+    xf = k3.to_flat(x, 32)
+    kc = plan.stem
+    return k3.fused_conv3x3_flat(xf, kc.blocks, kc.scale, kc.bias,
+                                 dilation=1, relu=LEAK, phase_in=0)
+
+
 def fast_unet_flat(x: jnp.ndarray, plan: FlatUNetPlan, *, dtype=jnp.bfloat16):
     """UNetFeatureExtractor forward, whole pipeline in the flat layout.
 
     Returns the pyramid [1/8, 1/4, 1/2, full] as NHWC arrays."""
     x = x.astype(dtype)
-    stem = _conv(x, plan.base.conv0_w, plan.base.conv0_b,
-                 padding=((1, 1), (1, 1)))
-    _, h, w, _ = stem.shape
-    y8, flat_levels = _unet_flat_from_stem(_to_flat_phase2(stem, 32),
-                                           plan, h, w)
+    _, h, w, _ = x.shape
+    y8, flat_levels = _unet_flat_from_stem(_stem_flat(x, plan), plan, h, w)
     return _unfold_pyramid(y8, flat_levels, h, w)
 
 
 def fast_unet_flat_pair(left, right, plan: FlatUNetPlan, *,
                         dtype=jnp.bfloat16):
-    """Both views' pyramids; the 3->32 stems run as ONE batch-2 XLA conv
-    (the only NHWC op left), the flat pipelines run per view."""
-    x2 = jnp.concatenate([left, right], axis=0).astype(dtype)
-    stems = _conv(x2, plan.base.conv0_w, plan.base.conv0_b,
-                  padding=((1, 1), (1, 1)))
-    _, h, w, _ = stems.shape
+    """Both views' pyramids, every op (stem included) in the flat layout."""
+    _, h, w, _ = left.shape
     pyramids = []
-    for v in range(2):
+    for v, x in enumerate((left, right)):
         y8, levels = _unet_flat_from_stem(
-            _to_flat_phase2(stems[v:v + 1], 32), plan, h, w)
+            _stem_flat(x.astype(dtype), plan), plan, h, w)
         pyramids.append(_unfold_pyramid(y8, levels, h, w))
     return pyramids
