@@ -141,6 +141,9 @@ def _checkpointer():
 # states pull in < 10 s through the relay) so it only fires on a genuine
 # wedge, not a slow fetch.
 FETCH_TIMEOUT_S = 120.0
+# consecutive wedged metric flushes before the trainer stops fetching
+# metrics for the rest of the run (see flush_metrics in train())
+METRIC_FETCH_MAX_WEDGES = 2
 
 
 def save_checkpoint(path, state: TrainState, *,
@@ -358,9 +361,21 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
     # dispatch pipelining (measured 3.5 s/step vs ~0.1 s compute)
     pending: list = []
     metric_keys: list = []
+    # circuit breaker: a permanently wedged relay client makes EVERY flush
+    # pay the full 2 x FETCH_TIMEOUT_S deadline (observed in the round-5
+    # DispNetC 100k run: 100 steps / 4 min instead of / 3.9 s -- a 60x
+    # throughput loss with training itself perfectly healthy).  After
+    # METRIC_FETCH_MAX_WEDGES consecutive wedged flushes, stop fetching
+    # metrics for the rest of the run: scalars are observability, the train
+    # state is not affected, and checkpoint saves keep their own
+    # deadline+retry path.
+    fetch_health = {"wedges": 0, "disabled": False}
 
     def flush_metrics():
         if not pending:
+            return
+        if fetch_health["disabled"]:
+            pending.clear()
             return
         steps_, vecs = zip(*pending)
         stacked = jnp.stack(vecs)
@@ -376,7 +391,16 @@ def train(exp_config: ExperimentConfig, *, max_steps: int | None = None,
                 "Dropping %d pending metric rows (steps %d..%d): relay "
                 "fetch wedged.", len(pending), steps_[0], steps_[-1])
             pending.clear()
+            fetch_health["wedges"] += 1
+            if fetch_health["wedges"] >= METRIC_FETCH_MAX_WEDGES:
+                fetch_health["disabled"] = True
+                logging.error(
+                    "Metric fetches DISABLED for the rest of the run after "
+                    "%d consecutive wedged flushes (training continues; "
+                    "checkpoint saves keep their own deadline+retry).",
+                    fetch_health["wedges"])
             return
+        fetch_health["wedges"] = 0
         for s, row in zip(steps_, vals):
             scalars = dict(zip(metric_keys, (float(x) for x in row)))
             logger.write_scalars(s, {

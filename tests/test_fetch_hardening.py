@@ -109,3 +109,39 @@ def test_trainer_survives_wedged_checkpoint_fetch(tmp_path, monkeypatch,
     assert not any("epoch-2" in c for c in ckpts), ckpts
     assert any("epoch-5" in c for c in ckpts), ckpts
     assert any("SKIPPING checkpoint" in r.message for r in caplog.records)
+
+
+@pytest.mark.slow
+def test_trainer_metric_circuit_breaker(tmp_path, monkeypatch, caplog):
+    """A PERMANENTLY wedged relay client (round-5 DispNetC 100k incident)
+    must not tax every metric flush with the full fetch deadline: after
+    METRIC_FETCH_MAX_WEDGES consecutive wedged flushes the trainer disables
+    metric fetches and stops calling device_get on metric stacks at all,
+    while training and (healthy) checkpoint saves run to completion."""
+    cfg = _tiny_config(tmp_path, steps=6, save_freq=100)
+
+    monkeypatch.setattr(trainer, "FETCH_TIMEOUT_S", 0.3)
+    real_get = jax.device_get
+    calls = {"metric_gets": 0}
+
+    def flaky_get(x):
+        if isinstance(x, trainer.TrainState):
+            return real_get(x)  # checkpoint pulls stay healthy
+        calls["metric_gets"] += 1
+        time.sleep(30)  # every metric fetch wedges, forever
+
+    monkeypatch.setattr(jax, "device_get", flaky_get)
+    # flush per step so the breaker trips within the tiny run
+    real_logger = trainer.MetricLogger
+    monkeypatch.setattr(trainer, "MetricLogger",
+                        lambda **kw: real_logger(sum_freq=1, **kw))
+
+    trainer.train(cfg, data_loader=_loader(), log_dir=str(tmp_path / "runs"))
+
+    assert any("Metric fetches DISABLED" in r.message
+               for r in caplog.records)
+    # breaker trips after MAX_WEDGES flushes x (1 try + 1 retry) fetches;
+    # the remaining steps must not fetch at all
+    assert calls["metric_gets"] == 2 * trainer.METRIC_FETCH_MAX_WEDGES, calls
+    ckpts = sorted(p.name for p in (tmp_path / "checkpoints").iterdir())
+    assert any("epoch-7" in c for c in ckpts), ckpts  # final save landed
