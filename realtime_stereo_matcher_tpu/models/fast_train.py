@@ -312,18 +312,20 @@ def refine_net_train(rn_params, rn_stats, disp, l_guide, r_guide=None, *,
             # the flow stays f32: both warps upcast it internally, and a
             # bf16 cast here would quantize the sample position to whole
             # pixels near max_disp (bf16 ulp is 1.0 in [128, 256))
-            if r_guide.shape[-1] <= 8:
+            if r_guide.shape[-1] <= 8 and max_shift <= 64:
                 # banded (gather/scatter-free) warp: XLA's gather lowering
                 # costs ~17 ms per level fwd+bwd at batch 8, 240x320.  The
                 # unrolled band scales with shifts x C, so it only pays for
-                # narrow guidance (v2's RGB).
+                # narrow guidance at SMALL shift bounds (v2's RGB at the
+                # coarse levels) -- same gate as the inference path
+                # (kernels/refine_stack.py).
                 r_guide = warp_by_flow_map_banded(
                     r_guide.astype(dtype), disp, max_shift)
             else:
-                # wide guidance (v3's 32-channel pyramid features): banded
-                # per-row selection-matrix warp -- MXU matmuls in both
-                # directions over a static max_shift tap band
-                # (ops/sampling.py)
+                # banded per-row selection-matrix warp -- MXU matmuls in
+                # both directions over a static max_shift tap band
+                # (ops/sampling.py); cost is channel-independent, serving
+                # v3's 32ch pyramid and v2's RGB at large shift bounds
                 r_guide = warp_by_flow_map_matmul_banded(
                     r_guide.astype(dtype), disp, max_shift)
         feats.append(r_guide)
