@@ -99,7 +99,31 @@ def measure_sharded_latency(model, variables, *, image_hw=(720, 1280),
     return (time.time() - t0) / iters
 
 
-def main():  # pragma: no cover - needs a multi-chip slice
+def main():  # pragma: no cover - measured entry point, not unit-testable
+    """Run the efficiency curve on whatever devices exist.
+
+    On a multi-chip slice this measures the real north-star number.  With
+    one chip it degenerates to single-device FPS.  ``--cpu`` forces the
+    virtual host-platform mesh (run with
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=8``) -- on 2 vCPUs
+    the cores are oversubscribed, so the resulting curve measures
+    partitioner+runtime overhead, not ICI (that projection lives in
+    parallel/comm_audit.py + BASELINE.md); it is still the same benchmark
+    component, executed end to end.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host-platform (virtual-device) mesh")
+    ap.add_argument("--image_hw", type=int, nargs=2, default=None,
+                    help="override the 720p default (e.g. 96 128 on CPU)")
+    ap.add_argument("--frames_per_device", type=int, default=2)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    image_hw = tuple(args.image_hw) if args.image_hw else (720, 1280)
+
     from realtime_stereo_matcher_tpu.models import build_model
 
     model = build_model({"type": "MobileStereoNet", "parameters": {}},
@@ -107,10 +131,12 @@ def main():  # pragma: no cover - needs a multi-chip slice
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init(rng, dummy, dummy, train=True)
-    for n, r in scaling_efficiency(model, variables).items():
+    for n, r in scaling_efficiency(
+            model, variables, image_hw=image_hw,
+            frames_per_device=args.frames_per_device).items():
         print(f"devices={n:3d}  fps={r['fps']:8.2f}  "
-              f"efficiency={r['efficiency']:.3f}")
-    lat = measure_sharded_latency(model, variables)
+              f"efficiency={r['efficiency']:.3f}", flush=True)
+    lat = measure_sharded_latency(model, variables, image_hw=image_hw)
     print(f"sharded single-image latency over {len(jax.devices())} devices: "
           f"{lat * 1e3:.2f} ms")
 
