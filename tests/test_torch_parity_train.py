@@ -162,6 +162,10 @@ def _train_parity(ref_file, ref_cls, model_type, hw, rng, *, b=2,
     # contention; 5e-2 bounds systematic divergence while the 1e-4 loss
     # tolerance pins the forward tightly.
     mod = _load_ref(ref_file)
+    # pin the torch init draw: the global-RNG state otherwise depends on test
+    # order, and an unlucky untrained-weight draw can push the worst grad
+    # leaf past rtol (observed once on v2 under heavy CPU contention)
+    torch.manual_seed(0)
     tmodel = getattr(mod, ref_cls)(**ref_kwargs)
     _randomize_bn_stats(tmodel, rng)
     # .copy(): state_dict tensors alias the live buffers -- without it the
@@ -247,6 +251,7 @@ def test_train_deviation_v4(rng):
     disparity units and the global gradient cosine similarity.
     """
     mod = _load_ref("mobile_stereo_net_v4")
+    torch.manual_seed(0)  # pin the init draw (see _train_parity)
     tmodel = mod.MobileStereoNetV4(max_disp=192)
     _randomize_bn_stats(tmodel, rng)
     sd = {k: v.detach().numpy().copy()
